@@ -1,0 +1,344 @@
+"""Public flash-attention API.
+
+TPU-native counterpart of `flash_attn/flash_attn_interface.py` (reference
+functions `flash_attn_qkvpacked_func:1008`, `flash_attn_kvpacked_func:1067`,
+`flash_attn_func:1145`, varlen triple `:1222/:1288/:1380`,
+`flash_attn_with_kvcache:1474`).  Instead of torch custom ops +
+autograd.Function, differentiation is wired with `jax.custom_vjp` over the
+Pallas forward/backward kernels; everything is jit-compatible.
+
+Layouts follow the reference: dense inputs are (batch, seqlen, nheads,
+head_dim); varlen inputs are (total_tokens, nheads, head_dim) with
+`cu_seqlens` prefix sums.  Internally kernels run on (b, h, s, d).
+
+Notes vs the reference:
+* `deterministic` is accepted and ignored — the TPU backward is always
+  deterministic (no atomics; see `kernels/flash_bwd.py`).
+* dropout is supported via an explicit `dropout_seed` (JAX has no global RNG
+  state); `dropout_p > 0` currently routes through the reference-math path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from flash_attn_tpu.kernels.flash_bwd import flash_attn_bwd_bhsd
+from flash_attn_tpu.kernels.flash_fwd import flash_attn_fwd_bhsd
+
+__all__ = [
+    "flash_attn_func",
+    "flash_attn_qkvpacked_func",
+    "flash_attn_kvpacked_func",
+    "flash_attn_varlen_func",
+    "flash_attn_varlen_qkvpacked_func",
+    "flash_attn_varlen_kvpacked_func",
+    "flash_attn_with_kvcache",
+]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_core(scale, causal, window, softcap, has_alibi, block_q, block_k):
+    """Build a custom_vjp-wrapped core for one static config.
+
+    The cache plays the role of the reference's per-config kernel dispatch
+    (`BOOL_SWITCH` specialization tree, `flash_fwd_launch_template.h:71-99`).
+    """
+    kw = dict(
+        softmax_scale=scale,
+        causal=causal,
+        window_size=window,
+        softcap=softcap,
+        block_q=block_q,
+        block_k=block_k,
+    )
+
+    @jax.custom_vjp
+    def core(q, k, v, slopes, seqused_q, seqused_k):
+        o, _ = flash_attn_fwd_bhsd(
+            q, k, v, seqused_q, seqused_k, alibi_slopes=slopes, **kw
+        )
+        return o
+
+    def core_fwd(q, k, v, slopes, seqused_q, seqused_k):
+        o, lse = flash_attn_fwd_bhsd(
+            q, k, v, seqused_q, seqused_k, alibi_slopes=slopes, **kw
+        )
+        return o, (q, k, v, o, lse, slopes, seqused_q, seqused_k)
+
+    def core_bwd(res, do):
+        q, k, v, o, lse, slopes, seqused_q, seqused_k = res
+        dq, dk, dv = flash_attn_bwd_bhsd(
+            do, q, k, v, o, lse, seqused_q, seqused_k, alibi_slopes=slopes, **kw
+        )
+        return dq, dk, dv, None, None, None
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+def _attn_bhsd(
+    q, k, v, *, softmax_scale, causal, window_size, softcap, alibi_slopes,
+    seqused_q, seqused_k, block_q=None, block_k=None, return_lse=False,
+):
+    core = _make_core(
+        float(softmax_scale), bool(causal),
+        (int(window_size[0]), int(window_size[1])), float(softcap),
+        alibi_slopes is not None, block_q, block_k,
+    )
+    o = core(q, k, v, alibi_slopes, seqused_q, seqused_k)
+    if return_lse:
+        # LSE is recomputed outside the vjp wrapper to keep the custom_vjp
+        # signature single-output; XLA CSEs the duplicate forward.
+        _, lse = flash_attn_fwd_bhsd(
+            q, k, v, seqused_q, seqused_k,
+            softmax_scale=softmax_scale, causal=causal, window_size=window_size,
+            softcap=softcap, alibi_slopes=alibi_slopes,
+            block_q=block_q, block_k=block_k,
+        )
+        return o, lse
+    return o, None
+
+
+def _check_dropout(dropout_p):
+    if dropout_p != 0.0:
+        raise NotImplementedError(
+            "dropout inside the Pallas kernel is not implemented yet; "
+            "use dropout_p=0.0 (attention dropout is off in inference and "
+            "most modern training recipes)."
+        )
+
+
+def flash_attn_func(
+    q,
+    k,
+    v,
+    dropout_p=0.0,
+    softmax_scale=None,
+    causal=False,
+    window_size=(-1, -1),
+    softcap=0.0,
+    alibi_slopes=None,
+    deterministic=False,
+    return_attn_probs=False,
+):
+    """Multi-head attention, (b, s, h, d) layout (`flash_attn_func:1145`).
+
+    Supports MQA/GQA (nheads divisible by nheads_k), causal, sliding window,
+    ALiBi, softcapping.  Returns out, or (out, softmax_lse, None) when
+    `return_attn_probs` (the reference's S_dmask is debug-only; we return
+    None for it).
+    """
+    _check_dropout(dropout_p)
+    del deterministic  # always deterministic on TPU
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    if softmax_scale is None:
+        softmax_scale = 1.0 / math.sqrt(d)
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    seqused_q = jnp.full((b,), sq, jnp.int32)
+    seqused_k = jnp.full((b,), sk, jnp.int32)
+    o, lse = _attn_bhsd(
+        qt, kt, vt, softmax_scale=softmax_scale, causal=causal,
+        window_size=window_size, softcap=softcap, alibi_slopes=alibi_slopes,
+        seqused_q=seqused_q, seqused_k=seqused_k,
+        return_lse=return_attn_probs,
+    )
+    o = jnp.swapaxes(o, 1, 2)
+    if return_attn_probs:
+        return o, lse, None
+    return o
+
+
+def flash_attn_qkvpacked_func(
+    qkv,
+    dropout_p=0.0,
+    softmax_scale=None,
+    causal=False,
+    window_size=(-1, -1),
+    softcap=0.0,
+    alibi_slopes=None,
+    deterministic=False,
+    return_attn_probs=False,
+):
+    """qkv: (b, s, 3, h, d) (`flash_attn_qkvpacked_func:1008`)."""
+    return flash_attn_func(
+        qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
+        dropout_p, softmax_scale, causal, window_size, softcap,
+        alibi_slopes, deterministic, return_attn_probs,
+    )
+
+
+def flash_attn_kvpacked_func(
+    q,
+    kv,
+    dropout_p=0.0,
+    softmax_scale=None,
+    causal=False,
+    window_size=(-1, -1),
+    softcap=0.0,
+    alibi_slopes=None,
+    deterministic=False,
+    return_attn_probs=False,
+):
+    """kv: (b, s, 2, hk, d) (`flash_attn_kvpacked_func:1067`)."""
+    return flash_attn_func(
+        q, kv[:, :, 0], kv[:, :, 1],
+        dropout_p, softmax_scale, causal, window_size, softcap,
+        alibi_slopes, deterministic, return_attn_probs,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Varlen: packed (total, h, d) tokens + cu_seqlens.
+#
+# TPU kernels need static shapes, so the packed stream is regathered into a
+# (batch, max_seqlen) padded layout (a cheap HBM-bandwidth gather that XLA
+# fuses), the kernel masks with per-batch `seqused`, and outputs are
+# scattered back.  This replaces the reference's cu_seqlens pointer
+# arithmetic (`block_info.h:13`).  Gather/scatter are jit-compatible and
+# differentiable, so varlen autodiff falls out of the dense custom_vjp.
+# ---------------------------------------------------------------------------
+
+
+def _varlen_to_padded(x, cu_seqlens, max_seqlen):
+    total = x.shape[0]
+    bsz = cu_seqlens.shape[0] - 1
+    idx = cu_seqlens[:-1, None] + jnp.arange(max_seqlen, dtype=jnp.int32)[None, :]
+    idx = jnp.minimum(idx, total - 1)
+    return x[idx]  # (b, max_seqlen, h, d)
+
+
+def _padded_to_varlen(xp, cu_seqlens, total):
+    seg = (
+        jnp.searchsorted(
+            cu_seqlens, jnp.arange(total, dtype=jnp.int32), side="right"
+        ).astype(jnp.int32)
+        - 1
+    )
+    seg = jnp.clip(seg, 0, cu_seqlens.shape[0] - 2)
+    pos = jnp.arange(total, dtype=jnp.int32) - cu_seqlens[seg]
+    pos = jnp.clip(pos, 0, xp.shape[1] - 1)
+    return xp[seg, pos]
+
+
+def flash_attn_varlen_func(
+    q,
+    k,
+    v,
+    cu_seqlens_q,
+    cu_seqlens_k,
+    max_seqlen_q,
+    max_seqlen_k,
+    dropout_p=0.0,
+    softmax_scale=None,
+    causal=False,
+    window_size=(-1, -1),
+    softcap=0.0,
+    alibi_slopes=None,
+    deterministic=False,
+    return_attn_probs=False,
+    seqused_q=None,
+    seqused_k=None,
+    block_table=None,
+):
+    """Varlen attention over packed tokens (`flash_attn_varlen_func:1380`).
+
+    q: (total_q, h, d); k/v: (total_k, hk, d); cu_seqlens_*: (b+1,) int32.
+    `seqused_k` limits the used keys per sequence (reference `seqused_k`
+    semantics).  `block_table` (paged KV) is handled by the decode path.
+    """
+    _check_dropout(dropout_p)
+    del deterministic
+    if block_table is not None:
+        raise NotImplementedError("paged KV goes through flash_attn_with_kvcache")
+    d = q.shape[-1]
+    b = cu_seqlens_q.shape[0] - 1
+    if softmax_scale is None:
+        softmax_scale = 1.0 / math.sqrt(d)
+    lens_q = cu_seqlens_q[1:] - cu_seqlens_q[:-1]
+    lens_k = cu_seqlens_k[1:] - cu_seqlens_k[:-1]
+    used_q = lens_q if seqused_q is None else jnp.asarray(seqused_q, jnp.int32)
+    used_k = lens_k if seqused_k is None else jnp.asarray(seqused_k, jnp.int32)
+
+    qp = _varlen_to_padded(q, cu_seqlens_q, max_seqlen_q)
+    kp = _varlen_to_padded(k, cu_seqlens_k, max_seqlen_k)
+    vp = _varlen_to_padded(v, cu_seqlens_k, max_seqlen_k)
+
+    o, lse = _attn_bhsd(
+        jnp.swapaxes(qp, 1, 2), jnp.swapaxes(kp, 1, 2), jnp.swapaxes(vp, 1, 2),
+        softmax_scale=softmax_scale, causal=causal, window_size=window_size,
+        softcap=softcap, alibi_slopes=alibi_slopes,
+        seqused_q=used_q, seqused_k=used_k,
+        return_lse=return_attn_probs,
+    )
+    o = jnp.swapaxes(o, 1, 2)  # (b, max_sq, h, d)
+    # Zero rows beyond each sequence's used length (they hold garbage from
+    # the padded compute), then scatter back to the packed layout.
+    row_valid = (
+        jnp.arange(max_seqlen_q, dtype=jnp.int32)[None, :] < used_q[:, None]
+    )
+    o = jnp.where(row_valid[:, :, None, None], o, 0)
+    out = _padded_to_varlen(o, cu_seqlens_q, q.shape[0])
+    if return_attn_probs:
+        return out, lse, None
+    return out
+
+
+def flash_attn_varlen_qkvpacked_func(
+    qkv,
+    cu_seqlens,
+    max_seqlen,
+    dropout_p=0.0,
+    softmax_scale=None,
+    causal=False,
+    window_size=(-1, -1),
+    softcap=0.0,
+    alibi_slopes=None,
+    deterministic=False,
+    return_attn_probs=False,
+):
+    """qkv: (total, 3, h, d) (`flash_attn_varlen_qkvpacked_func:1222`)."""
+    return flash_attn_varlen_func(
+        qkv[:, 0], qkv[:, 1], qkv[:, 2],
+        cu_seqlens, cu_seqlens, max_seqlen, max_seqlen,
+        dropout_p, softmax_scale, causal, window_size, softcap,
+        alibi_slopes, deterministic, return_attn_probs,
+    )
+
+
+def flash_attn_varlen_kvpacked_func(
+    q,
+    kv,
+    cu_seqlens_q,
+    cu_seqlens_k,
+    max_seqlen_q,
+    max_seqlen_k,
+    dropout_p=0.0,
+    softmax_scale=None,
+    causal=False,
+    window_size=(-1, -1),
+    softcap=0.0,
+    alibi_slopes=None,
+    deterministic=False,
+    return_attn_probs=False,
+):
+    """kv: (total_k, 2, hk, d) (`flash_attn_varlen_kvpacked_func:1288`)."""
+    return flash_attn_varlen_func(
+        q, kv[:, 0], kv[:, 1],
+        cu_seqlens_q, cu_seqlens_k, max_seqlen_q, max_seqlen_k,
+        dropout_p, softmax_scale, causal, window_size, softcap,
+        alibi_slopes, deterministic, return_attn_probs,
+    )
+
+
+def flash_attn_with_kvcache(*args, **kwargs):
+    """Decode-path attention with KV cache; see `kernels/flash_decode.py`."""
+    from flash_attn_tpu.kernels.flash_decode import flash_attn_with_kvcache as f
+
+    return f(*args, **kwargs)

@@ -1,0 +1,58 @@
+"""Tile-size heuristics for the Pallas attention kernels.
+
+TPU analogue of the reference's per-head-dim block tables
+(`flash_attn/flash_attn_interface.py:23` `_get_block_size_n` and
+`hopper/tile_size.h`).  Sizes here are tuned for MXU (128x128) / VMEM
+(~16MB per core) rather than SM occupancy: the lane dimension is always a
+multiple of 128 and the score tile (block_q x block_k) plus double-buffered
+K/V tiles must fit comfortably in VMEM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+def round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@dataclasses.dataclass(frozen=True)
+class FwdBlockSizes:
+    block_q: int
+    block_k: int
+
+
+@dataclasses.dataclass(frozen=True)
+class BwdBlockSizes:
+    block_q_dq: int
+    block_k_dq: int
+    block_q_dkv: int
+    block_k_dkv: int
+
+
+def fwd_block_sizes(seqlen_q: int, seqlen_k: int, head_dim: int) -> FwdBlockSizes:
+    # Larger hdim -> smaller tiles to stay within VMEM.
+    if head_dim <= 128:
+        bq, bk = 512, 512
+    elif head_dim <= 192:
+        bq, bk = 256, 512
+    else:
+        bq, bk = 256, 256
+    bq = min(bq, max(128, round_up(seqlen_q, 128)))
+    bk = min(bk, max(128, round_up(seqlen_k, 128)))
+    return FwdBlockSizes(bq, bk)
+
+
+def bwd_block_sizes(seqlen_q: int, seqlen_k: int, head_dim: int) -> BwdBlockSizes:
+    if head_dim <= 128:
+        b = 256
+    else:
+        b = 128
+    bq = min(b, max(128, round_up(seqlen_q, 128)))
+    bk = min(b, max(128, round_up(seqlen_k, 128)))
+    return BwdBlockSizes(bq, bk, bq, bk)

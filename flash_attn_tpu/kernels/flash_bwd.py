@@ -1,0 +1,449 @@
+"""Pallas TPU flash-attention backward kernels.
+
+TPU-native redesign of the reference FA2 backward path
+(`csrc/flash_attn/src/flash_bwd_kernel.h`, preprocess
+`flash_bwd_preprocess_kernel.h`, launch logic
+`flash_bwd_launch_template.h:78-124`).  The CUDA kernel is dKV-stationary and
+accumulates dQ through global-memory atomics (or a serialized grid in
+deterministic mode).  TPUs have no atomics, so we use the two-kernel
+recompute split that maps naturally onto the MXU:
+
+* ``dq`` kernel: grid (b, h, nq, nk), dQ accumulated in VMEM scratch across
+  the KV-block loop.  Always deterministic (the reference's
+  ``deterministic=True`` mode is our only mode).
+* ``dkv`` kernel: grid (b, hk, nk, nq*g), dK/dV accumulated in VMEM scratch
+  across the fused (q-block x gqa-group) loop; GQA head-group reduction
+  happens in-kernel rather than via a postprocess sum.
+
+Both kernels recompute the score tile from Q/K and normalise with the saved
+LSE (p = exp(s - lse)), the same residual strategy the CUDA kernel uses.
+The dO*O row-sum preprocess is left to XLA (a bandwidth-bound fused
+reduction needs no hand-written kernel on TPU).
+
+Causal/local/varlen block skipping follows the same clamped-index-map +
+``pl.when`` scheme as the forward kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attn_tpu.env import use_interpret
+from flash_attn_tpu.kernels.block_sizes import bwd_block_sizes, round_up
+from flash_attn_tpu.kernels.flash_fwd import (
+    LOG2E,
+    MASK_VALUE,
+    FwdParams,
+    _kv_block_bounds,
+)
+
+# Row-statistics (LSE, delta) are carried with a small replicated lane dim so
+# the block shape is tileable without 128x HBM amplification.
+STAT_LANES = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class BwdParams:
+    scale: float
+    causal: bool
+    window_left: int
+    window_right: int
+    softcap: float
+    has_alibi: bool
+    g: int
+    block_q: int
+    block_k: int
+
+    @property
+    def wr(self) -> int:
+        return 0 if self.causal else self.window_right
+
+    @property
+    def has_upper(self) -> bool:
+        return self.causal or self.window_right >= 0
+
+    @property
+    def has_lower(self) -> bool:
+        return self.window_left >= 0
+
+    def as_fwd(self, num_kv_blocks: int) -> FwdParams:
+        return FwdParams(
+            scale=self.scale,
+            causal=self.causal,
+            window_left=self.window_left,
+            window_right=self.window_right,
+            softcap=self.softcap,
+            has_alibi=self.has_alibi,
+            g=self.g,
+            block_q=self.block_q,
+            block_k=self.block_k,
+            num_kv_blocks=num_kv_blocks,
+        )
+
+
+def _bwd_dq_kernel(p: BwdParams, sq_ref, sk_ref, *refs):
+    if p.has_alibi:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, slopes_ref,
+         dq_ref, dq_acc) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dq_ref, dq_acc) = refs
+        slopes_ref = None
+
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+    bq, bk = p.block_q, p.block_k
+    sq_b = sq_ref[b]
+    sk_b = sk_ref[b]
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    min_ki, max_ki = _kv_block_bounds(p.as_fwd(nk), qi, sq_b, sk_b)
+    should_compute = jnp.logical_and(ki >= min_ki, ki <= max_ki)
+
+    @pl.when(should_compute)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse_row = lse_ref[0, 0][:, :1]  # (bq, 1)
+        delta_row = delta_ref[0, 0][:, :1]
+
+        rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        cols = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        offset = sk_b - sq_b
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * p.scale
+        s_cap = None
+        if p.softcap > 0.0:
+            s_cap = jnp.tanh(s / p.softcap) * p.softcap
+            s = s_cap
+        if p.has_alibi:
+            slope = slopes_ref[0, 0]
+            s = s - slope * jnp.abs(rows + offset - cols).astype(jnp.float32)
+
+        mask = cols >= sk_b
+        if p.has_upper:
+            mask = jnp.logical_or(mask, cols > rows + offset + p.wr)
+        if p.has_lower:
+            mask = jnp.logical_or(mask, cols < rows + offset - p.window_left)
+        s = jnp.where(mask, MASK_VALUE, s)
+
+        pmat = jnp.exp2((s - lse_row) * LOG2E)  # underflows to exactly 0 when masked
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = pmat * (dp - delta_row)
+        if p.softcap > 0.0:
+            ds = ds * (1.0 - (s_cap / p.softcap) ** 2)
+        ds = ds * p.scale
+        dq_acc[...] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def _q_block_bounds(p: BwdParams, ki, sq_b, sk_b):
+    """Inclusive [min_qi, max_qi] of q blocks contributing to k block ki."""
+    offset = sk_b - sq_b
+    c0 = ki * p.block_k
+    c1 = ki * p.block_k + p.block_k - 1
+    if p.has_upper:
+        # need row_max + offset + wr >= c0
+        min_qi = jnp.maximum(0, (c0 - offset - max(p.wr, 0)) // p.block_q)
+    else:
+        min_qi = 0
+    nq_valid = (sq_b + p.block_q - 1) // p.block_q
+    max_qi = nq_valid - 1
+    if p.has_lower:
+        # need row_min + offset - wl <= c1
+        max_qi = jnp.minimum(max_qi, (c1 - offset + p.window_left) // p.block_q)
+    return min_qi, max_qi
+
+
+def _bwd_dkv_kernel(p: BwdParams, sq_ref, sk_ref, *refs):
+    if p.has_alibi:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, slopes_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc) = refs
+        slopes_ref = None
+
+    b = pl.program_id(0)
+    ki = pl.program_id(2)
+    t = pl.program_id(3)
+    nt = pl.num_programs(3)
+    bq, bk = p.block_q, p.block_k
+    qi = t // p.g  # t = qi * g + gi
+    sq_b = sq_ref[b]
+    sk_b = sk_ref[b]
+
+    @pl.when(t == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    min_qi, max_qi = _q_block_bounds(p, ki, sq_b, sk_b)
+    in_range = jnp.logical_and(qi >= min_qi, qi <= max_qi)
+    k_valid = ki * bk < sk_b
+    should_compute = jnp.logical_and(in_range, k_valid)
+
+    @pl.when(should_compute)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse_row = lse_ref[0, 0][:, :1]
+        delta_row = delta_ref[0, 0][:, :1]
+
+        rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        cols = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        offset = sk_b - sq_b
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * p.scale
+        s_cap = None
+        if p.softcap > 0.0:
+            s_cap = jnp.tanh(s / p.softcap) * p.softcap
+            s = s_cap
+        if p.has_alibi:
+            slope = slopes_ref[0, 0]
+            s = s - slope * jnp.abs(rows + offset - cols).astype(jnp.float32)
+
+        mask = cols >= sk_b
+        if p.has_upper:
+            mask = jnp.logical_or(mask, cols > rows + offset + p.wr)
+        if p.has_lower:
+            mask = jnp.logical_or(mask, cols < rows + offset - p.window_left)
+        s = jnp.where(mask, MASK_VALUE, s)
+
+        pmat = jnp.exp2((s - lse_row) * LOG2E)
+        # dV += P^T dO
+        dv_acc[...] += jax.lax.dot_general(
+            pmat.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = pmat * (dp - delta_row)
+        if p.softcap > 0.0:
+            ds = ds * (1.0 - (s_cap / p.softcap) ** 2)
+        ds = ds * p.scale
+        # dK += dS^T Q
+        dk_acc[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(t == nt - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def flash_attn_bwd_bhsd(
+    do,
+    q,
+    k,
+    v,
+    o,
+    lse,
+    seqused_q,
+    seqused_k,
+    *,
+    softmax_scale: float,
+    causal: bool = False,
+    window_size=(-1, -1),
+    softcap: float = 0.0,
+    alibi_slopes=None,
+    block_q: int | None = None,
+    block_k: int | None = None,
+):
+    """Backward flash attention on (b, h, s, d)-layout operands.
+
+    do/q/o: (b, h, sq, d); k/v: (b, hk, sk, d); lse: (b, h, sq) float32.
+    Returns (dq, dk, dv) in input dtypes with k/v grads already
+    group-reduced for GQA (reference `run_mha_bwd`, `flash_api.cpp:757`).
+    """
+    b, h, sq, d = q.shape
+    _, hk, sk, _ = k.shape
+    g = h // hk
+
+    bs = bwd_block_sizes(sq, sk, d)
+    bq = block_q or bs.block_q_dq
+    bk = block_k or bs.block_k_dq
+    sq_p = round_up(max(sq, bq), bq)
+    sk_p = round_up(max(sk, bk), bk)
+
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    )  # (b, h, sq) — the dO . O preprocess (`flash_bwd_preprocess_kernel.h`)
+
+    def pad_s(x, target, axis=2):
+        padw = [(0, 0)] * x.ndim
+        padw[axis] = (0, target - x.shape[axis])
+        return jnp.pad(x, padw) if target != x.shape[axis] else x
+
+    q, do, o = (pad_s(x, sq_p) for x in (q, do, o))
+    k, v = (pad_s(x, sk_p) for x in (k, v))
+    # Pad LSE with +inf so padded rows have p == 0 in the dkv kernel.
+    lse = jnp.pad(
+        lse, ((0, 0), (0, 0), (0, sq_p - lse.shape[2])), constant_values=jnp.inf
+    ) if sq_p != lse.shape[2] else lse
+    delta = pad_s(delta, sq_p)
+
+    lse_r = jnp.broadcast_to(lse[..., None], (*lse.shape, STAT_LANES))
+    delta_r = jnp.broadcast_to(delta[..., None], (*delta.shape, STAT_LANES))
+
+    nq = sq_p // bq
+    nk = sk_p // bk
+
+    p = BwdParams(
+        scale=float(softmax_scale),
+        causal=bool(causal),
+        window_left=int(window_size[0]),
+        window_right=int(window_size[1]),
+        softcap=float(softcap),
+        has_alibi=alibi_slopes is not None,
+        g=g,
+        block_q=bq,
+        block_k=bk,
+    )
+
+    slopes = None
+    if alibi_slopes is not None:
+        slopes = jnp.broadcast_to(
+            jnp.asarray(alibi_slopes, jnp.float32).reshape(-1, h), (b, h)
+        )
+    seqused_q = jnp.asarray(seqused_q, jnp.int32)
+    seqused_k = jnp.asarray(seqused_k, jnp.int32)
+
+    # ---- dQ kernel: grid (b, h, nq, nk) ----
+    def q_map(b_, h_, qi, ki, *_):
+        return (b_, h_, qi, 0)
+
+    def kv_map_dq(b_, h_, qi, ki, sq_ref, sk_ref):
+        min_ki, max_ki = _kv_block_bounds(p.as_fwd(nk), qi, sq_ref[b_], sk_ref[b_])
+        ki_eff = jnp.clip(ki, jnp.maximum(min_ki, 0), jnp.maximum(max_ki, 0))
+        ki_eff = jnp.clip(ki_eff, 0, nk - 1)
+        return (b_, h_ // g, ki_eff, 0)
+
+    def stat_map(b_, h_, qi, ki, *_):
+        return (b_, h_, qi, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, d), q_map),
+        pl.BlockSpec((1, 1, bk, d), kv_map_dq),
+        pl.BlockSpec((1, 1, bk, d), kv_map_dq),
+        pl.BlockSpec((1, 1, bq, d), q_map),
+        pl.BlockSpec((1, 1, bq, STAT_LANES), stat_map),
+        pl.BlockSpec((1, 1, bq, STAT_LANES), stat_map),
+    ]
+    inputs = [q, k, v, do, lse_r, delta_r]
+    if slopes is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1), lambda b_, h_, qi, ki, *_: (b_, h_),
+                         memory_space=pltpu.SMEM)
+        )
+        inputs.append(slopes)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, p),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, h, nq, nk),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, 1, bq, d), q_map),
+            scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=use_interpret(),
+    )(seqused_q, seqused_k, *inputs)
+
+    # ---- dKV kernel: grid (b, hk, nk, nq * g) ----
+    def qhead_map(b_, hk_, ki, t, sq_ref, sk_ref):
+        qi = t // g
+        gi = t % g
+        min_qi, max_qi = _q_block_bounds(p, ki, sq_ref[b_], sk_ref[b_])
+        qi_eff = jnp.clip(qi, jnp.maximum(min_qi, 0), jnp.maximum(max_qi, 0))
+        qi_eff = jnp.clip(qi_eff, 0, nq - 1)
+        return (b_, hk_ * g + gi, qi_eff, 0)
+
+    def kv_map_dkv(b_, hk_, ki, t, *_):
+        return (b_, hk_, ki, 0)
+
+    in_specs2 = [
+        pl.BlockSpec((1, 1, bq, d), qhead_map),
+        pl.BlockSpec((1, 1, bk, d), kv_map_dkv),
+        pl.BlockSpec((1, 1, bk, d), kv_map_dkv),
+        pl.BlockSpec((1, 1, bq, d), qhead_map),
+        pl.BlockSpec((1, 1, bq, STAT_LANES), qhead_map),
+        pl.BlockSpec((1, 1, bq, STAT_LANES), qhead_map),
+    ]
+    inputs2 = [q, k, v, do, lse_r, delta_r]
+    if slopes is not None:
+        in_specs2.append(
+            pl.BlockSpec(
+                (1, 1),
+                lambda b_, hk_, ki, t, *_: (b_, hk_ * g + t % g),
+                memory_space=pltpu.SMEM,
+            )
+        )
+        inputs2.append(slopes)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, p),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, hk, nk, nq * g),
+            in_specs=in_specs2,
+            out_specs=[
+                pl.BlockSpec((1, 1, bk, d), kv_map_dkv),
+                pl.BlockSpec((1, 1, bk, d), kv_map_dkv),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bk, d), jnp.float32),
+                pltpu.VMEM((bk, d), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hk, sk_p, d), k.dtype),
+            jax.ShapeDtypeStruct((b, hk, sk_p, d), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=use_interpret(),
+    )(seqused_q, seqused_k, *inputs2)
+
+    dq = dq[:, :, :sq, :]
+    dk = dk[:, :, :sk, :]
+    dv = dv[:, :, :sk, :]
+    return dq, dk, dv

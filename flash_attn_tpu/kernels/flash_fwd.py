@@ -1,0 +1,319 @@
+"""Pallas TPU flash-attention forward kernel.
+
+TPU-native redesign of the reference FA2 forward path
+(`csrc/flash_attn/src/flash_fwd_kernel.h:52` `compute_attn_1rowblock`,
+launch grid `flash_fwd_launch_template.h:66`, online softmax
+`csrc/flash_attn/src/softmax.h:129`, masking `mask.h:112`, varlen offsets
+`block_info.h:13`).  Design differences from the CUDA kernel, chosen for the
+TPU execution model:
+
+* Grid is ``(batch, q_heads, num_q_blocks, num_kv_blocks)`` with the KV block
+  dimension innermost and sequential ("arbitrary"); the online-softmax state
+  (m, l, acc) lives in VMEM scratch that persists across KV iterations —
+  the Pallas analogue of the register-resident accumulator of the CUDA
+  mainloop.
+* Causal / sliding-window / varlen block skipping is done by *clamping the
+  K/V index maps*: skipped iterations map to an already-resident block so the
+  pipeline issues no DMA, and ``pl.when`` skips the compute.  This replaces
+  the CUDA kernel's n_block_min/max loop bounds.
+* Per-batch actual lengths (``seqused_q`` / ``seqused_k``) are scalar-
+  prefetched into SMEM (PrefetchScalarGridSpec), playing the role of
+  `BlockInfo` + `cu_seqlens`, and also handle padding of non-multiple
+  sequence lengths.
+* GQA consumes K/V directly with an index-map head mapping (h -> h // g) —
+  no KV repeat materialisation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attn_tpu.env import use_interpret
+from flash_attn_tpu.kernels.block_sizes import cdiv, fwd_block_sizes, round_up
+
+LOG2E = math.log2(math.e)
+MASK_VALUE = -1e30
+LANES = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class FwdParams:
+    scale: float
+    causal: bool
+    window_left: int
+    window_right: int
+    softcap: float
+    has_alibi: bool
+    g: int  # q heads per kv head
+    block_q: int
+    block_k: int
+    num_kv_blocks: int
+
+    @property
+    def local(self) -> bool:
+        return self.window_left >= 0 or self.window_right >= 0
+
+    @property
+    def wr(self) -> int:
+        # causal == window_right 0 (reference `attention_ref` sets this too)
+        if self.causal:
+            return 0
+        return self.window_right
+
+    @property
+    def has_upper(self) -> bool:
+        return self.causal or self.window_right >= 0
+
+    @property
+    def has_lower(self) -> bool:
+        return self.window_left >= 0
+
+
+def _kv_block_bounds(p: FwdParams, qi, sq_b, sk_b):
+    """Inclusive [min_ki, max_ki] of KV blocks contributing to q block qi.
+
+    Mirrors the n_block_min/max computation of the CUDA fwd kernel but at
+    trace time on prefetched scalars.  Bottom-right aligned: offset =
+    sk_b - sq_b (reference `mask.h` semantics).
+    """
+    offset = sk_b - sq_b
+    row_min = qi * p.block_q
+    row_max = qi * p.block_q + p.block_q - 1
+    max_col = sk_b - 1
+    if p.has_upper:
+        max_col = jnp.minimum(max_col, row_max + offset + max(p.wr, 0))
+    if p.has_lower:
+        min_col = jnp.maximum(0, row_min + offset - p.window_left)
+    else:
+        min_col = 0
+    min_ki = min_col // p.block_k
+    max_ki = max_col // p.block_k  # may be negative when nothing valid
+    return min_ki, max_ki
+
+
+def _fwd_kernel(p: FwdParams, sq_ref, sk_ref, *refs):
+    if p.has_alibi:
+        q_ref, k_ref, v_ref, slopes_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
+        slopes_ref = None
+
+    b = pl.program_id(0)
+    ki = pl.program_id(3)
+    qi = pl.program_id(2)
+    nk = pl.num_programs(3)
+    bq, bk = p.block_q, p.block_k
+    sq_b = sq_ref[b]
+    sk_b = sk_ref[b]
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    min_ki, max_ki = _kv_block_bounds(p, qi, sq_b, sk_b)
+    should_compute = jnp.logical_and(ki >= min_ki, ki <= max_ki)
+
+    @pl.when(should_compute)
+    def _compute():
+        q = q_ref[0, 0]  # (bq, d)
+        k = k_ref[0, 0]  # (bk, d)
+        v = v_ref[0, 0]  # (bk, d)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * p.scale
+        if p.softcap > 0.0:
+            s = jnp.tanh(s / p.softcap) * p.softcap
+
+        rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        cols = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        offset = sk_b - sq_b
+
+        if p.has_alibi:
+            slope = slopes_ref[0, 0]
+            s = s - slope * jnp.abs(rows + offset - cols).astype(jnp.float32)
+
+        mask = cols >= sk_b
+        if p.has_upper:
+            mask = jnp.logical_or(mask, cols > rows + offset + p.wr)
+        if p.has_lower:
+            mask = jnp.logical_or(mask, cols < rows + offset - p.window_left)
+        s = jnp.where(mask, MASK_VALUE, s)
+
+        m_prev = m_ref[:, :1]  # (bq, 1)
+        l_prev = l_ref[:, :1]
+        m_curr = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp2((m_prev - m_curr) * LOG2E)
+        # alpha is NaN-free: m_prev = -inf only when m_curr is finite or -inf;
+        # -inf - -inf is avoided by the MASK_VALUE fill keeping s finite.
+        pmat = jnp.exp2((s - m_curr) * LOG2E)
+        pmat = jnp.where(mask, 0.0, pmat)
+
+        l_curr = l_prev * alpha + jnp.sum(pmat, axis=1, keepdims=True)
+        m_ref[...] = jnp.broadcast_to(m_curr, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_curr, l_ref.shape)
+
+        pv = jax.lax.dot_general(
+            pmat.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l_final = l_ref[:, :1]
+        m_final = m_ref[:, :1]
+        empty = l_final == 0.0
+        l_safe = jnp.where(empty, 1.0, l_final)
+        o_ref[0, 0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
+        # Reference writes +inf LSE for fully-masked rows
+        # (`softmax.h:170` normalize_softmax_lse).
+        lse = jnp.where(
+            empty, jnp.inf, m_final + jnp.log(l_safe)
+        )
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+def flash_attn_fwd_bhsd(
+    q,
+    k,
+    v,
+    seqused_q,
+    seqused_k,
+    *,
+    softmax_scale: float,
+    causal: bool = False,
+    window_size=(-1, -1),
+    softcap: float = 0.0,
+    alibi_slopes=None,
+    block_q: int | None = None,
+    block_k: int | None = None,
+):
+    """Forward flash attention on (b, h, s, d)-layout operands.
+
+    q: (b, h, sq, d); k/v: (b, hk, sk, d); seqused_{q,k}: (b,) int32 actual
+    lengths (handles varlen and non-block-multiple padding uniformly).
+    Returns o: (b, h, sq, d) in q.dtype and lse: (b, h, sq) float32
+    (natural-log, reference layout `flash_api.cpp:351` mha_fwd).
+    """
+    b, h, sq, d = q.shape
+    _, hk, sk, _ = k.shape
+    assert h % hk == 0, (h, hk)
+    g = h // hk
+
+    bs = fwd_block_sizes(sq, sk, d)
+    bq = block_q or bs.block_q
+    bk = block_k or bs.block_k
+    sq_p = round_up(max(sq, bq), bq)
+    sk_p = round_up(max(sk, bk), bk)
+    if sq_p != sq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    if sk_p != sk:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
+    nq = sq_p // bq
+    nk = sk_p // bk
+
+    p = FwdParams(
+        scale=float(softmax_scale),
+        causal=bool(causal),
+        window_left=int(window_size[0]),
+        window_right=int(window_size[1]),
+        softcap=float(softcap),
+        has_alibi=alibi_slopes is not None,
+        g=g,
+        block_q=bq,
+        block_k=bk,
+        num_kv_blocks=nk,
+    )
+
+    def q_map(b_, h_, qi, ki, sq_ref, sk_ref):
+        return (b_, h_, qi, 0)
+
+    def kv_map(b_, h_, qi, ki, sq_ref, sk_ref):
+        min_ki, max_ki = _kv_block_bounds(p, qi, sq_ref[b_], sk_ref[b_])
+        ki_eff = jnp.clip(ki, jnp.maximum(min_ki, 0), jnp.maximum(max_ki, 0))
+        ki_eff = jnp.clip(ki_eff, 0, nk - 1)
+        return (b_, h_ // g, ki_eff, 0)
+
+    def out_map(b_, h_, qi, ki, sq_ref, sk_ref):
+        return (b_, h_, qi, 0)
+
+    def lse_map(b_, h_, qi, ki, sq_ref, sk_ref):
+        return (b_, h_, qi, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, d), q_map),
+        pl.BlockSpec((1, 1, bk, d), kv_map),
+        pl.BlockSpec((1, 1, bk, d), kv_map),
+    ]
+    inputs = [q, k, v]
+    if alibi_slopes is not None:
+        slopes = jnp.broadcast_to(
+            jnp.asarray(alibi_slopes, jnp.float32).reshape(-1, h), (b, h)
+        )
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1),
+                lambda b_, h_, qi, ki, sq_ref, sk_ref: (b_, h_),
+                memory_space=pltpu.SMEM,
+            )
+        )
+        inputs.append(slopes)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, h, nq, nk),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, d), out_map),
+            # LSE is lane-replicated to a (…, 128) trailing dim: TPU block
+            # shapes need the last dim tiled; the wrapper strips it.
+            pl.BlockSpec((1, 1, bq, LANES), lse_map),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(_fwd_kernel, p)
+    flops = 4 * b * h * sq * sk * d
+    if causal:
+        flops //= 2
+    o, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq_p, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * h * sq * sk,
+        ),
+        interpret=use_interpret(),
+    )(
+        jnp.asarray(seqused_q, jnp.int32),
+        jnp.asarray(seqused_k, jnp.int32),
+        *inputs,
+    )
+    lse = lse[:, :, :sq, 0]
+    if sq_p != sq:
+        o = o[:, :, :sq, :]
+    return o, lse

@@ -1,0 +1,285 @@
+"""Kernel unit tests vs the fp32 oracle.
+
+Model: reference `tests/test_flash_attn.py` (e.g. `test_flash_attn_output:943`,
+`test_flash_attn_varlen_output:1172`, `test_flash_attn_race_condition:2199`).
+Acceptance: kernel error <= 2x the error of the same computation run in low
+precision through plain einsum attention ("pt" reference), plus grads.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attn_tpu import flash_attn_func, flash_attn_qkvpacked_func, flash_attn_varlen_func
+from flash_attn_tpu.utils.testing import (
+    attention_ref,
+    attn_bias_from_alibi_slopes,
+    check_close,
+    generate_qkv,
+    generate_random_padding_mask,
+)
+
+
+def make_qkv(b, sq, sk, h, hk, d, dtype, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), dtype)
+    k = jnp.asarray(rng.standard_normal((b, sk, hk, d)), dtype)
+    v = jnp.asarray(rng.standard_normal((b, sk, hk, d)), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float32])
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize(
+    "sq,sk", [(128, 128), (128, 256), (256, 128), (113, 203), (208, 1)][:4]
+)
+@pytest.mark.parametrize("d", [64, 128])
+def test_flash_attn_output(sq, sk, d, causal, dtype):
+    b, h, hk = 2, 4, 4
+    q, k, v = make_qkv(b, sq, sk, h, hk, d, dtype)
+    out = flash_attn_func(q, k, v, causal=causal)
+    out_ref, _ = attention_ref(q, k, v, causal=causal)
+    out_pt, _ = attention_ref(q, k, v, causal=causal, upcast=False, reorder_ops=True)
+    check_close(out, out_ref, out_pt)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("local", [False, True])
+def test_flash_attn_gqa(causal, local):
+    b, h, hk, sq, sk, d = 2, 8, 2, 192, 256, 64
+    window = (37, 13) if local else (-1, -1)
+    q, k, v = make_qkv(b, sq, sk, h, hk, d, jnp.bfloat16)
+    out = flash_attn_func(q, k, v, causal=causal, window_size=window)
+    out_ref, _ = attention_ref(q, k, v, causal=causal, window_size=window)
+    out_pt, _ = attention_ref(
+        q, k, v, causal=causal, window_size=window, upcast=False, reorder_ops=True
+    )
+    check_close(out, out_ref, out_pt)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attn_alibi(causal):
+    b, h, hk, sq, sk, d = 2, 4, 4, 160, 160, 64
+    q, k, v = make_qkv(b, sq, sk, h, hk, d, jnp.bfloat16)
+    rng = np.random.default_rng(1)
+    slopes = jnp.asarray(rng.random((b, h)) * 0.3, jnp.float32)
+    bias = attn_bias_from_alibi_slopes(slopes, sq, sk, causal=causal)
+    out = flash_attn_func(q, k, v, causal=causal, alibi_slopes=slopes)
+    out_ref, _ = attention_ref(q, k, v, attn_bias=bias, causal=causal)
+    out_pt, _ = attention_ref(
+        q, k, v, attn_bias=bias, causal=causal, upcast=False, reorder_ops=True
+    )
+    check_close(out, out_ref, out_pt)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attn_softcap(causal):
+    b, h, hk, sq, sk, d = 2, 4, 4, 192, 192, 64
+    softcap = 30.0
+    q, k, v = make_qkv(b, sq, sk, h, hk, d, jnp.bfloat16)
+    out = flash_attn_func(q, k, v, causal=causal, softcap=softcap)
+    out_ref, _ = attention_ref(q, k, v, causal=causal, softcap=softcap)
+    out_pt, _ = attention_ref(
+        q, k, v, causal=causal, softcap=softcap, upcast=False, reorder_ops=True
+    )
+    check_close(out, out_ref, out_pt)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("d", [64, 128])
+def test_flash_attn_backward(causal, d):
+    b, h, hk, sq, sk = 2, 4, 2, 160, 192
+    q, k, v = make_qkv(b, sq, sk, h, hk, d, jnp.bfloat16, seed=3)
+    g = jnp.asarray(
+        np.random.default_rng(4).standard_normal((b, sq, h, d)), jnp.bfloat16
+    )
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attn_func(q, k, v, causal=causal).astype(jnp.float32)
+                       * g.astype(jnp.float32))
+
+    def loss_ref(q, k, v, upcast=True, reorder_ops=False):
+        out, _ = attention_ref(q, k, v, causal=causal, upcast=upcast,
+                               reorder_ops=reorder_ops)
+        return jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32))
+
+    dq, dk, dv = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    dq_ref, dk_ref, dv_ref = jax.grad(
+        lambda *a: loss_ref(*a), argnums=(0, 1, 2)
+    )(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32))
+    dq_pt, dk_pt, dv_pt = jax.grad(
+        lambda *a: loss_ref(*a, upcast=False, reorder_ops=True), argnums=(0, 1, 2)
+    )(q, k, v)
+    check_close(dq, dq_ref, dq_pt, label="dq")
+    check_close(dk, dk_ref, dk_pt, label="dk")
+    check_close(dv, dv_ref, dv_pt, label="dv")
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attn_backward_alibi_softcap(causal):
+    b, h, hk, sq, sk, d = 1, 4, 4, 128, 160, 64
+    q, k, v = make_qkv(b, sq, sk, h, hk, d, jnp.bfloat16, seed=5)
+    rng = np.random.default_rng(6)
+    slopes = jnp.asarray(rng.random((b, h)) * 0.3, jnp.float32)
+    bias = attn_bias_from_alibi_slopes(slopes, sq, sk, causal=causal)
+    g = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.bfloat16)
+    softcap = 25.0
+
+    def loss_flash(q, k, v):
+        out = flash_attn_func(
+            q, k, v, causal=causal, alibi_slopes=slopes, softcap=softcap
+        )
+        return jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32))
+
+    def loss_ref(q, k, v, upcast=True, reorder_ops=False):
+        out, _ = attention_ref(
+            q, k, v, attn_bias=bias, causal=causal, softcap=softcap,
+            upcast=upcast, reorder_ops=reorder_ops,
+        )
+        return jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32))
+
+    dq, dk, dv = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    dq_ref, dk_ref, dv_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+    )
+    dq_pt, dk_pt, dv_pt = jax.grad(
+        lambda *a: loss_ref(*a, upcast=False, reorder_ops=True), argnums=(0, 1, 2)
+    )(q, k, v)
+    check_close(dq, dq_ref, dq_pt, label="dq")
+    check_close(dk, dk_ref, dk_pt, label="dk")
+    check_close(dv, dv_ref, dv_pt, label="dv")
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attn_varlen_output(causal):
+    b, h, hk, sq, sk, d = 3, 4, 2, 130, 171, 64
+    q, k, v = make_qkv(b, sq, sk, h, hk, d, jnp.bfloat16, seed=7)
+    rng = np.random.default_rng(8)
+    query_padding_mask = generate_random_padding_mask(sq, b, mode="random", rng=rng)
+    key_padding_mask = generate_random_padding_mask(sk, b, mode="random", rng=rng)
+    (
+        q_unpad, k_unpad, v_unpad, cu_q, cu_k, seqused_q, seqused_k,
+        max_sq, max_sk, output_pad_fn,
+    ) = generate_qkv(q, k, v, query_padding_mask, key_padding_mask)
+    out_unpad = flash_attn_varlen_func(
+        q_unpad, k_unpad, v_unpad, cu_q, cu_k, max_sq, max_sk, causal=causal
+    )
+    out = output_pad_fn(out_unpad)
+    out_ref, _ = attention_ref(
+        q, k, v, query_padding_mask, key_padding_mask, causal=causal
+    )
+    out_pt, _ = attention_ref(
+        q, k, v, query_padding_mask, key_padding_mask, causal=causal,
+        upcast=False, reorder_ops=True,
+    )
+    check_close(out, out_ref, out_pt)
+
+
+def test_flash_attn_varlen_backward():
+    b, h, hk, sq, sk, d, causal = 2, 4, 4, 120, 140, 64, True
+    q, k, v = make_qkv(b, sq, sk, h, hk, d, jnp.bfloat16, seed=9)
+    rng = np.random.default_rng(10)
+    query_padding_mask = generate_random_padding_mask(sq, b, mode="third", rng=rng)
+    key_padding_mask = generate_random_padding_mask(sk, b, mode="third", rng=rng)
+    (
+        q_unpad, k_unpad, v_unpad, cu_q, cu_k, _, _, max_sq, max_sk, output_pad_fn,
+    ) = generate_qkv(q, k, v, query_padding_mask, key_padding_mask)
+    g_unpad = jnp.asarray(
+        rng.standard_normal(q_unpad.shape), jnp.bfloat16
+    )
+
+    def loss_flash(qu, ku, vu):
+        out = flash_attn_varlen_func(qu, ku, vu, cu_q, cu_k, max_sq, max_sk,
+                                     causal=causal)
+        return jnp.sum(out.astype(jnp.float32) * g_unpad.astype(jnp.float32))
+
+    dq_u, dk_u, dv_u = jax.grad(loss_flash, argnums=(0, 1, 2))(
+        q_unpad, k_unpad, v_unpad
+    )
+    assert not bool(jnp.any(jnp.isnan(dq_u)))
+    assert not bool(jnp.any(jnp.isnan(dk_u)))
+
+    # Dense-path padded reference for the same loss.
+    g_pad = output_pad_fn(g_unpad)
+
+    def loss_ref(q, k, v, upcast=True, reorder_ops=False):
+        out, _ = attention_ref(
+            q, k, v, query_padding_mask, key_padding_mask, causal=causal,
+            upcast=upcast, reorder_ops=reorder_ops,
+        )
+        return jnp.sum(out.astype(jnp.float32) * g_pad.astype(jnp.float32))
+
+    dq_ref, dk_ref, dv_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+    )
+    dq_pt, dk_pt, dv_pt = jax.grad(
+        lambda *a: loss_ref(*a, upcast=False, reorder_ops=True), argnums=(0, 1, 2)
+    )(q, k, v)
+
+    from flash_attn_tpu.utils.padding import pad_input
+
+    # Repad kernel grads into dense layout; re-derive indices from masks.
+    qmask = np.asarray(query_padding_mask)
+    kmask = np.asarray(key_padding_mask)
+    idx_q = jnp.asarray(np.nonzero(qmask.reshape(-1))[0], jnp.int32)
+    idx_k = jnp.asarray(np.nonzero(kmask.reshape(-1))[0], jnp.int32)
+    dq = pad_input(dq_u, idx_q, b, sq)
+    dk = pad_input(dk_u, idx_k, b, sk)
+    dv = pad_input(dv_u, idx_k, b, sk)
+    # The reference grads are already zero in padded positions.
+    check_close(dq, dq_ref, dq_pt, label="dq")
+    check_close(dk, dk_ref, dk_pt, label="dk")
+    check_close(dv, dv_ref, dv_pt, label="dv")
+
+
+def test_flash_attn_qkvpacked():
+    b, s, h, d = 2, 160, 4, 64
+    rng = np.random.default_rng(11)
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3, h, d)), jnp.bfloat16)
+    out = flash_attn_qkvpacked_func(qkv, causal=True)
+    out_ref, _ = attention_ref(
+        qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], causal=True
+    )
+    out_pt, _ = attention_ref(
+        qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], causal=True,
+        upcast=False, reorder_ops=True,
+    )
+    check_close(out, out_ref, out_pt)
+
+
+def test_flash_attn_deterministic():
+    """Bitwise determinism across runs (reference
+    `test_flash_attn_race_condition:2199` runs 30x; our kernels have no
+    atomics so 3x suffices to catch scheduling nondeterminism)."""
+    b, h, sq, sk, d = 2, 4, 256, 256, 64
+    q, k, v = make_qkv(b, sq, sk, h, h, d, jnp.bfloat16, seed=12)
+    g = jnp.asarray(np.random.default_rng(13).standard_normal((b, sq, h, d)),
+                    jnp.bfloat16)
+
+    def run():
+        def loss(q, k, v):
+            return jnp.sum(
+                flash_attn_func(q, k, v, causal=True).astype(jnp.float32)
+                * g.astype(jnp.float32)
+            )
+        out = flash_attn_func(q, k, v, causal=True)
+        grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        return out, grads
+
+    out0, grads0 = run()
+    for _ in range(2):
+        out, grads = run()
+        assert bool(jnp.all(out == out0))
+        for a, b_ in zip(grads, grads0):
+            assert bool(jnp.all(a == b_))
+
+
+def test_flash_attn_seqlen_one():
+    """Decode-shaped dense call (sq=1)."""
+    b, h, hk, sk, d = 2, 8, 2, 257, 64
+    q, k, v = make_qkv(b, 1, sk, h, hk, d, jnp.bfloat16, seed=14)
+    out = flash_attn_func(q, k, v, causal=True)
+    out_ref, _ = attention_ref(q, k, v, causal=True)
+    out_pt, _ = attention_ref(q, k, v, causal=True, upcast=False, reorder_ops=True)
+    check_close(out, out_ref, out_pt)
