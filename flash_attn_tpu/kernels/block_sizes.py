@@ -35,14 +35,19 @@ class BwdBlockSizes:
     block_k_dkv: int
 
 
-def fwd_block_sizes(seqlen_q: int, seqlen_k: int, head_dim: int) -> FwdBlockSizes:
-    # Larger hdim -> smaller tiles to stay within VMEM.
+def fwd_block_sizes(
+    seqlen_q: int, seqlen_k: int, head_dim: int, boundary_heavy: bool = False
+) -> FwdBlockSizes:
+    # Tuned on TPU v5e (see benchmarks): large tiles amortise softmax VPU
+    # work and per-grid-step pipeline overhead; VMEM is the constraint
+    # (the f32 score tile is bq*bk*4 bytes).  Causal/local masks prefer
+    # smaller KV tiles — less MXU waste in diagonal tiles.
     if head_dim <= 128:
-        bq, bk = 512, 512
+        bq, bk = (1024, 1024) if boundary_heavy else (2048, 2048)
     elif head_dim <= 192:
-        bq, bk = 256, 512
+        bq, bk = 1024, 1024
     else:
-        bq, bk = 256, 256
+        bq, bk = 512, 1024
     bq = min(bq, max(128, round_up(seqlen_q, 128)))
     bk = min(bk, max(128, round_up(seqlen_k, 128)))
     return FwdBlockSizes(bq, bk)
@@ -50,9 +55,9 @@ def fwd_block_sizes(seqlen_q: int, seqlen_k: int, head_dim: int) -> FwdBlockSize
 
 def bwd_block_sizes(seqlen_q: int, seqlen_k: int, head_dim: int) -> BwdBlockSizes:
     if head_dim <= 128:
-        b = 256
+        b = 1024
     else:
-        b = 128
+        b = 512
     bq = min(b, max(128, round_up(seqlen_q, 128)))
     bk = min(b, max(128, round_up(seqlen_k, 128)))
     return BwdBlockSizes(bq, bk, bq, bk)

@@ -383,6 +383,7 @@ def flash_attn_bwd_bhsd(
         out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=use_interpret(),
     )(seqused_q, seqused_k, *inputs)
@@ -439,6 +440,7 @@ def flash_attn_bwd_bhsd(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=use_interpret(),
     )(seqused_q, seqused_k, *inputs2)

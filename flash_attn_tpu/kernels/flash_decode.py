@@ -1,0 +1,493 @@
+"""KV-cache decode attention: split-KV kernel, paged KV, GQA head packing.
+
+TPU-native redesign of the reference decode stack:
+* `mha_fwd_kvcache` host logic (`csrc/flash_attn/flash_api.cpp:1240-1480`):
+  cache append, rotary, cache_batch_idx, leftpad.
+* split-KV kernel + combine (`flash_fwd_kernel.h:499`
+  `compute_attn_1rowblock_splitkv`, `:1111` combine; heuristic
+  `flash_api.cpp:263`).
+* GQA q-head packing: the reference folds q heads into the M dimension for
+  single-token decode (`seqlenq_ngroups_swapped`, `flash.h:142`; FA3
+  `pack_gqa.h`).  Here q is reshaped (b, h, sq, d) -> (b, hk, g*sq, d) so
+  one MXU pass serves a whole KV head group.
+* paged KV (`flash.h:100-103` block_table): our native page layout is
+  (hk, num_pages, page_size, d) so a page is a contiguous (page_size, d)
+  tile per head — the page table is scalar-prefetched and indexed inside the
+  K/V BlockSpec index maps (no gather materialisation).
+
+Decode is HBM-bandwidth-bound (reading the cache once is the floor), so the
+kernel keeps K/V streaming through VMEM with the online-softmax state in
+scratch.  On a single TPU core the grid is a pipelined sequential loop —
+there is no SM-occupancy cliff — so `num_splits` defaults to 1; splits
+exist for parity and for sharded decode where splits land on different
+devices.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attn_tpu.env import use_interpret
+from flash_attn_tpu.kernels.block_sizes import cdiv, round_up
+from flash_attn_tpu.kernels.combine import combine_attn_partials
+from flash_attn_tpu.kernels.flash_fwd import LOG2E, MASK_VALUE, flash_attn_fwd_bhsd
+
+STAT_LANES = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeParams:
+    scale: float
+    causal: bool
+    window_left: int
+    window_right: int
+    softcap: float
+    has_alibi: bool
+    has_leftpad: bool
+    g: int
+    sq: int
+    lp_rows: int  # padded packed-row count
+    block_k: int
+    blocks_per_split: int
+    paged: bool
+
+    @property
+    def wr(self) -> int:
+        return 0 if self.causal else self.window_right
+
+    @property
+    def has_upper(self) -> bool:
+        return self.causal or self.window_right >= 0
+
+    @property
+    def has_lower(self) -> bool:
+        return self.window_left >= 0
+
+
+def _decode_kernel(p: DecodeParams, *args):
+    # scalar-prefetch refs
+    if p.paged:
+        lens_ref, leftpad_ref, cbi_ref, table_ref = args[:4]
+        rest = args[4:]
+    else:
+        lens_ref, leftpad_ref, cbi_ref = args[:3]
+        rest = args[3:]
+    if p.has_alibi:
+        q_ref, k_ref, v_ref, slopes_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref = rest
+        slopes_ref = None
+
+    b = pl.program_id(0)
+    s = pl.program_id(2)
+    ki = pl.program_id(3)
+    bps = p.blocks_per_split
+    bk = p.block_k
+    rows_n = p.lp_rows
+
+    len_b = lens_ref[b]
+    lp_b = leftpad_ref[b] if p.has_leftpad else 0
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    kg = s * bps + ki
+    len_eff = len_b - lp_b
+    offset = len_eff - p.sq
+    kg_min = lp_b // bk
+    if p.has_lower:
+        min_col = lp_b + jnp.maximum(0, offset - p.window_left)
+        kg_min = min_col // bk
+    kg_max = (len_b - 1) // bk  # negative when the cache is empty
+    should_compute = jnp.logical_and(kg >= kg_min, kg <= kg_max)
+
+    @pl.when(should_compute)
+    def _compute():
+        q = q_ref[0, 0]  # (rows_n, d)
+        k = k_ref[0, 0]  # (bk, d)
+        v = v_ref[0, 0]
+
+        st = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        st = st * p.scale
+        if p.softcap > 0.0:
+            st = jnp.tanh(st / p.softcap) * p.softcap
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (rows_n, bk), 0)
+        pos = rows % p.sq  # row -> position within the query chunk
+        cols_g = kg * bk + jax.lax.broadcasted_iota(jnp.int32, (rows_n, bk), 1)
+        cols = cols_g - lp_b
+
+        if p.has_alibi:
+            # per-row slope: row r belongs to q head group gi = r // sq
+            slope = jnp.zeros((rows_n, 1), jnp.float32)
+            gi = rows[:, :1] // p.sq
+            for i in range(p.g):
+                slope = jnp.where(gi == i, slopes_ref[0, i], slope)
+            st = st - slope * jnp.abs(pos + offset - cols).astype(jnp.float32)
+
+        mask = jnp.logical_or(cols < 0, cols >= len_eff)
+        if p.has_upper:
+            mask = jnp.logical_or(mask, cols > pos + offset + p.wr)
+        if p.has_lower:
+            mask = jnp.logical_or(mask, cols < pos + offset - p.window_left)
+        st = jnp.where(mask, MASK_VALUE, st)
+
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_curr = jnp.maximum(m_prev, jnp.max(st, axis=1, keepdims=True))
+        alpha = jnp.exp2((m_prev - m_curr) * LOG2E)
+        pmat = jnp.exp2((st - m_curr) * LOG2E)
+        pmat = jnp.where(mask, 0.0, pmat)
+        l_curr = l_prev * alpha + jnp.sum(pmat, axis=1, keepdims=True)
+        m_ref[...] = jnp.broadcast_to(m_curr, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_curr, l_ref.shape)
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            pmat.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ki == bps - 1)
+    def _finalize():
+        l_final = l_ref[:, :1]
+        m_final = m_ref[:, :1]
+        empty = l_final == 0.0
+        l_safe = jnp.where(empty, 1.0, l_final)
+        o_ref[0, 0, 0] = acc_ref[...] / l_safe
+        lse = jnp.where(empty, jnp.inf, m_final + jnp.log(l_safe))
+        lse_ref[0, 0, 0] = jnp.broadcast_to(lse, lse_ref.shape[3:])
+
+
+def decode_attn_bhsd(
+    q,
+    k_cache,
+    v_cache,
+    cache_seqlens,
+    *,
+    softmax_scale: float,
+    causal: bool = True,
+    window_size=(-1, -1),
+    softcap: float = 0.0,
+    alibi_slopes=None,
+    block_table=None,
+    cache_batch_idx=None,
+    cache_leftpad=None,
+    num_splits: int = 1,
+    block_k: int = 512,
+):
+    """Split-KV decode attention on native layouts.
+
+    q: (b, h, sq, d).  Non-paged cache: (bc, hk, smax, d).  Paged cache:
+    (hk, num_pages, page_size, d) with block_table (b, pages_per_seq).
+    cache_seqlens: (b,) total used keys (including any appended tokens).
+    Returns (o (b, h, sq, d) in q.dtype, lse (b, h, sq) float32).
+    """
+    b, h, sq, d = q.shape
+    paged = block_table is not None
+    if paged:
+        hk, npages, page, _ = k_cache.shape
+        block_k = page
+        smax_blocks = block_table.shape[1]
+        nk_max = smax_blocks
+    else:
+        bc, hk, smax, _ = k_cache.shape
+        smax_p = round_up(smax, block_k)
+        if smax_p != smax:
+            k_cache = jnp.pad(k_cache, ((0, 0), (0, 0), (0, smax_p - smax), (0, 0)))
+            v_cache = jnp.pad(v_cache, ((0, 0), (0, 0), (0, smax_p - smax), (0, 0)))
+        nk_max = smax_p // block_k
+    g = h // hk
+    rows = g * sq
+    rows_p = max(8, round_up(rows, 8))
+
+    qp = q.reshape(b, hk, g, sq, d).reshape(b, hk, rows, d)
+    if rows_p != rows:
+        qp = jnp.pad(qp, ((0, 0), (0, 0), (0, rows_p - rows), (0, 0)))
+
+    num_splits = max(1, min(int(num_splits), nk_max))
+    bps = cdiv(nk_max, num_splits)
+
+    p = DecodeParams(
+        scale=float(softmax_scale),
+        causal=bool(causal),
+        window_left=int(window_size[0]),
+        window_right=int(window_size[1]),
+        softcap=float(softcap),
+        has_alibi=alibi_slopes is not None,
+        has_leftpad=cache_leftpad is not None,
+        g=g,
+        sq=sq,
+        lp_rows=rows_p,
+        block_k=block_k,
+        blocks_per_split=bps,
+        paged=paged,
+    )
+
+    lens = jnp.asarray(cache_seqlens, jnp.int32)
+    leftpad = (
+        jnp.asarray(cache_leftpad, jnp.int32)
+        if cache_leftpad is not None
+        else jnp.zeros((b,), jnp.int32)
+    )
+    cbi = (
+        jnp.asarray(cache_batch_idx, jnp.int32)
+        if cache_batch_idx is not None
+        else jnp.arange(b, dtype=jnp.int32)
+    )
+
+    scalar_args = [lens, leftpad, cbi]
+    nsp = 3
+    if paged:
+        scalar_args.append(jnp.asarray(block_table, jnp.int32))
+        nsp = 4
+
+    def q_map(b_, h_, s_, ki, *refs):
+        return (b_, h_, 0, 0)
+
+    def _kg_eff(b_, s_, ki, lens_ref, leftpad_ref):
+        len_b = lens_ref[b_]
+        lp_b = leftpad_ref[b_] if p.has_leftpad else 0
+        kg = s_ * bps + ki
+        kg_min = lp_b // block_k
+        kg_max = jnp.maximum((len_b - 1) // block_k, 0)
+        return jnp.clip(jnp.clip(kg, kg_min, kg_max), 0, nk_max - 1)
+
+    if paged:
+        def kv_map(b_, h_, s_, ki, lens_ref, leftpad_ref, cbi_ref, table_ref):
+            kg = _kg_eff(b_, s_, ki, lens_ref, leftpad_ref)
+            page_id = table_ref[b_, kg]
+            return (h_, page_id, 0, 0)
+
+        kv_spec = pl.BlockSpec((1, 1, block_k, d), kv_map)
+    else:
+        def kv_map(b_, h_, s_, ki, lens_ref, leftpad_ref, cbi_ref):
+            kg = _kg_eff(b_, s_, ki, lens_ref, leftpad_ref)
+            return (cbi_ref[b_], h_, kg, 0)
+
+        kv_spec = pl.BlockSpec((1, 1, block_k, d), kv_map)
+
+    in_specs = [pl.BlockSpec((1, 1, rows_p, d), q_map), kv_spec, kv_spec]
+    inputs = [qp, k_cache, v_cache]
+    if alibi_slopes is not None:
+        slopes = jnp.broadcast_to(
+            jnp.asarray(alibi_slopes, jnp.float32).reshape(-1, h), (b, h)
+        ).reshape(b, hk, g)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, g),
+                lambda b_, h_, s_, ki, *refs: (b_, h_, 0),
+                memory_space=pltpu.SMEM,
+            )
+        )
+        inputs.append(slopes)
+
+    def o_map(b_, h_, s_, ki, *refs):
+        return (b_, h_, s_, 0, 0)
+
+    o_parts, lse_parts = pl.pallas_call(
+        functools.partial(_decode_kernel, p),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=nsp,
+            grid=(b, hk, num_splits, bps),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, 1, 1, rows_p, d), o_map),
+                pl.BlockSpec((1, 1, 1, rows_p, STAT_LANES), o_map),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((rows_p, d), jnp.float32),
+                pltpu.VMEM((rows_p, 128), jnp.float32),
+                pltpu.VMEM((rows_p, 128), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hk, num_splits, rows_p, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hk, num_splits, rows_p, STAT_LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=use_interpret(),
+    )(*scalar_args, *inputs)
+
+    if num_splits > 1:
+        o, lse = combine_attn_partials(
+            jnp.moveaxis(o_parts, 2, 0), jnp.moveaxis(lse_parts[..., 0], 2, 0), axis=0
+        )
+    else:
+        o, lse = o_parts[:, :, 0], lse_parts[:, :, 0, :, 0]
+    # unpack gqa rows -> heads
+    o = o[:, :, :rows].reshape(b, hk, g, sq, d).reshape(b, h, sq, d)
+    lse = lse[:, :, :rows].reshape(b, hk, g, sq).reshape(b, h, sq)
+    return o.astype(q.dtype), lse
+
+
+def _apply_rotary(x, cos, sin, positions, interleaved):
+    """Rotary embedding at given positions.
+
+    x: (b, s, h, d); cos/sin: (max_pos, rotary_dim // 2); positions: (b, s).
+    Matches `flash_attn/layers/rotary.py:93` `apply_rotary_emb` semantics
+    (non-interleaved = GPT-NeoX rotate-half on the first rotary_dim dims).
+    """
+    rd2 = cos.shape[-1]
+    rd = rd2 * 2
+    c = cos[positions]  # (b, s, rd2)
+    s_ = sin[positions]
+    c = c[:, :, None, :].astype(jnp.float32)
+    s_ = s_[:, :, None, :].astype(jnp.float32)
+    x_rot = x[..., :rd].astype(jnp.float32)
+    x_pass = x[..., rd:]
+    if interleaved:
+        x1 = x_rot[..., 0::2]
+        x2 = x_rot[..., 1::2]
+        o1 = x1 * c - x2 * s_
+        o2 = x1 * s_ + x2 * c
+        out = jnp.stack([o1, o2], axis=-1).reshape(x_rot.shape)
+    else:
+        x1 = x_rot[..., :rd2]
+        x2 = x_rot[..., rd2:]
+        o1 = x1 * c - x2 * s_
+        o2 = x1 * s_ + x2 * c
+        out = jnp.concatenate([o1, o2], axis=-1)
+    return jnp.concatenate([out.astype(x.dtype), x_pass], axis=-1)
+
+
+def flash_attn_with_kvcache(
+    q,
+    k_cache,
+    v_cache,
+    k=None,
+    v=None,
+    rotary_cos=None,
+    rotary_sin=None,
+    cache_seqlens=None,
+    cache_batch_idx=None,
+    cache_leftpad=None,
+    block_table=None,
+    softmax_scale=None,
+    causal=False,
+    window_size=(-1, -1),
+    softcap=0.0,
+    rotary_interleaved=False,
+    alibi_slopes=None,
+    num_splits=0,
+    return_softmax_lse=False,
+    return_updated_cache=False,
+):
+    """Decode attention with KV cache (`flash_attn_with_kvcache:1474`).
+
+    Reference layouts: q (b, sq, h, d); k_cache/v_cache (bc, smax, hk, d),
+    or paged (num_pages, page_size, hk, d) + block_table (b, pages).
+    k/v: (b, snew, hk, d) new tokens appended at cache_seqlens.
+
+    JAX is functional, so instead of in-place cache mutation pass
+    `return_updated_cache=True` to get (out[, lse], (k_cache, v_cache))
+    back; under jit with donated arguments the update is in-place.
+    """
+    b, sq, h, d = q.shape
+    if softmax_scale is None:
+        softmax_scale = 1.0 / math.sqrt(d)
+    paged = block_table is not None
+    if cache_seqlens is None:
+        smax = block_table.shape[1] * k_cache.shape[1] if paged else k_cache.shape[1]
+        cache_seqlens = jnp.full((b,), smax, jnp.int32)
+    elif jnp.ndim(cache_seqlens) == 0:
+        cache_seqlens = jnp.full((b,), cache_seqlens, jnp.int32)
+    cache_seqlens = jnp.asarray(cache_seqlens, jnp.int32)
+
+    # native layouts
+    if paged:
+        kc = jnp.transpose(k_cache, (2, 0, 1, 3))  # -> (hk, npages, page, d)
+        vc = jnp.transpose(v_cache, (2, 0, 1, 3))
+        page = k_cache.shape[1]
+    else:
+        kc = jnp.swapaxes(k_cache, 1, 2)  # -> (bc, hk, smax, d)
+        vc = jnp.swapaxes(v_cache, 1, 2)
+
+    # rotary on q at the cache positions
+    if rotary_cos is not None:
+        q_pos = (
+            cache_seqlens[:, None]
+            - (cache_leftpad[:, None] if cache_leftpad is not None else 0)
+            + jnp.arange(sq, dtype=jnp.int32)[None, :]
+        )
+        if not causal and sq == 1:
+            pass  # single token: position is just the cache length
+        q = _apply_rotary(q, rotary_cos, rotary_sin, q_pos, rotary_interleaved)
+
+    new_len = cache_seqlens
+    if k is not None:
+        snew = k.shape[1]
+        if rotary_cos is not None:
+            k_pos = (
+                cache_seqlens[:, None]
+                - (cache_leftpad[:, None] if cache_leftpad is not None else 0)
+                + jnp.arange(snew, dtype=jnp.int32)[None, :]
+            )
+            k = _apply_rotary(k, rotary_cos, rotary_sin, k_pos, rotary_interleaved)
+        bidx = (
+            cache_batch_idx
+            if cache_batch_idx is not None
+            else jnp.arange(b, dtype=jnp.int32)
+        )
+        sidx = cache_seqlens[:, None] + jnp.arange(snew, dtype=jnp.int32)[None, :]
+        hk = k.shape[2]
+        hidx = jnp.arange(hk, dtype=jnp.int32)
+        if paged:
+            pids = block_table[jnp.arange(b)[:, None], sidx // page]  # (b, snew)
+            poff = sidx % page
+            kc = kc.at[
+                hidx[None, None, :], pids[:, :, None], poff[:, :, None]
+            ].set(k)
+            vc = vc.at[
+                hidx[None, None, :], pids[:, :, None], poff[:, :, None]
+            ].set(v)
+        else:
+            kc = kc.at[
+                jnp.asarray(bidx)[:, None, None], hidx[None, None, :], sidx[:, :, None]
+            ].set(k)
+            vc = vc.at[
+                jnp.asarray(bidx)[:, None, None], hidx[None, None, :], sidx[:, :, None]
+            ].set(v)
+        new_len = cache_seqlens + snew
+
+    o, lse = decode_attn_bhsd(
+        jnp.swapaxes(q, 1, 2),
+        kc,
+        vc,
+        new_len,
+        softmax_scale=softmax_scale,
+        causal=causal,
+        window_size=window_size,
+        softcap=softcap,
+        alibi_slopes=alibi_slopes,
+        block_table=block_table,
+        cache_batch_idx=cache_batch_idx,
+        cache_leftpad=cache_leftpad,
+        num_splits=num_splits or 1,
+    )
+    out = jnp.swapaxes(o, 1, 2)
+
+    results = (out,)
+    if return_softmax_lse:
+        results += (lse,)
+    if return_updated_cache:
+        if paged:
+            kc_out = jnp.transpose(kc, (1, 2, 0, 3))
+            vc_out = jnp.transpose(vc, (1, 2, 0, 3))
+        else:
+            kc_out = jnp.swapaxes(kc, 1, 2)
+            vc_out = jnp.swapaxes(vc, 1, 2)
+        results += ((kc_out, vc_out),)
+    return results[0] if len(results) == 1 else results

@@ -53,8 +53,9 @@ class FwdParams:
     has_alibi: bool
     g: int  # q heads per kv head
     block_q: int
-    block_k: int
+    block_k: int  # major KV tile: DMA + grid granularity
     num_kv_blocks: int
+    block_k_sub: int = 0  # compute subtile (<= block_k); 0 = same as block_k
 
     @property
     def local(self) -> bool:
@@ -76,13 +77,15 @@ class FwdParams:
         return self.window_left >= 0
 
 
-def _kv_block_bounds(p: FwdParams, qi, sq_b, sk_b):
+def _kv_block_bounds(p: FwdParams, qi, sq_b, sk_b, block_k: int | None = None):
     """Inclusive [min_ki, max_ki] of KV blocks contributing to q block qi.
 
     Mirrors the n_block_min/max computation of the CUDA fwd kernel but at
     trace time on prefetched scalars.  Bottom-right aligned: offset =
-    sk_b - sq_b (reference `mask.h` semantics).
+    sk_b - sq_b (reference `mask.h` semantics).  `block_k` overrides the
+    granularity (used for compute subtiles).
     """
+    bk = block_k or p.block_k
     offset = sk_b - sq_b
     row_min = qi * p.block_q
     row_max = qi * p.block_q + p.block_q - 1
@@ -93,8 +96,8 @@ def _kv_block_bounds(p: FwdParams, qi, sq_b, sk_b):
         min_col = jnp.maximum(0, row_min + offset - p.window_left)
     else:
         min_col = 0
-    min_ki = min_col // p.block_k
-    max_ki = max_col // p.block_k  # may be negative when nothing valid
+    min_ki = min_col // bk
+    max_ki = max_col // bk  # may be negative when nothing valid
     return min_ki, max_ki
 
 
@@ -113,51 +116,65 @@ def _fwd_kernel(p: FwdParams, sq_ref, sk_ref, *refs):
     sq_b = sq_ref[b]
     sk_b = sk_ref[b]
 
+    # With neither softcap nor alibi the softmax scale is folded into the
+    # exp2 exponent (m/l state kept in raw-score units), saving a full
+    # (bq, bk) VPU multiply per tile — the TPU version of the exp2 trick in
+    # `softmax.h:67` `scale_apply_exp2`.
+    generic = p.softcap > 0.0 or p.has_alibi
+    c = LOG2E if generic else p.scale * LOG2E
+
     @pl.when(ki == 0)
     def _init():
         m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    min_ki, max_ki = _kv_block_bounds(p, qi, sq_b, sk_b)
-    should_compute = jnp.logical_and(ki >= min_ki, ki <= max_ki)
+    offset = sk_b - sq_b
+    bks = p.block_k_sub or bk
+    nsub = bk // bks
+    r0 = qi * bq
+    r1 = r0 + bq - 1
 
-    @pl.when(should_compute)
-    def _compute():
+    def _update(j, kgj, masked: bool):
+        """Process one (bq, bks) compute subtile at global subtile idx kgj."""
         q = q_ref[0, 0]  # (bq, d)
-        k = k_ref[0, 0]  # (bk, d)
-        v = v_ref[0, 0]  # (bk, d)
+        k = k_ref[0, 0, j * bks:(j + 1) * bks, :]  # (bks, d), static slice
+        v = v_ref[0, 0, j * bks:(j + 1) * bks, :]
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = s * p.scale
-        if p.softcap > 0.0:
-            s = jnp.tanh(s / p.softcap) * p.softcap
-
-        rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-        cols = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        offset = sk_b - sq_b
-
+        mask = None
+        rows = cols = None
+        if generic:
+            s = s * p.scale
+            if p.softcap > 0.0:
+                s = jnp.tanh(s / p.softcap) * p.softcap
+        if masked or p.has_alibi:
+            rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bks), 0)
+            cols = kgj * bks + jax.lax.broadcasted_iota(jnp.int32, (bq, bks), 1)
         if p.has_alibi:
             slope = slopes_ref[0, 0]
             s = s - slope * jnp.abs(rows + offset - cols).astype(jnp.float32)
-
-        mask = cols >= sk_b
-        if p.has_upper:
-            mask = jnp.logical_or(mask, cols > rows + offset + p.wr)
-        if p.has_lower:
-            mask = jnp.logical_or(mask, cols < rows + offset - p.window_left)
-        s = jnp.where(mask, MASK_VALUE, s)
+        if masked:
+            mask = cols >= sk_b
+            if p.has_upper:
+                mask = jnp.logical_or(mask, cols > rows + offset + p.wr)
+            if p.has_lower:
+                mask = jnp.logical_or(
+                    mask, cols < rows + offset - p.window_left
+                )
+            s = jnp.where(mask, MASK_VALUE, s)
 
         m_prev = m_ref[:, :1]  # (bq, 1)
         l_prev = l_ref[:, :1]
         m_curr = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp2((m_prev - m_curr) * LOG2E)
-        # alpha is NaN-free: m_prev = -inf only when m_curr is finite or -inf;
-        # -inf - -inf is avoided by the MASK_VALUE fill keeping s finite.
-        pmat = jnp.exp2((s - m_curr) * LOG2E)
-        pmat = jnp.where(mask, 0.0, pmat)
+        alpha = jnp.exp2((m_prev - m_curr) * c)
+        pmat = jnp.exp2((s - m_curr) * c)
+        if masked:
+            # A row whose every column is masked in this tile would get
+            # p == 1 from exp2(0); zero it explicitly.
+            pmat = jnp.where(mask, 0.0, pmat)
 
         l_curr = l_prev * alpha + jnp.sum(pmat, axis=1, keepdims=True)
         m_ref[...] = jnp.broadcast_to(m_curr, m_ref.shape)
@@ -169,6 +186,33 @@ def _fwd_kernel(p: FwdParams, sq_ref, sk_ref, *refs):
         )
         acc_ref[...] = acc_ref[...] * alpha + pv
 
+    # Compute-subtile loop (statically unrolled so Mosaic can software-
+    # pipeline the MXU): the major tile is DMA'd whole; masked-out subtiles
+    # are skipped by predication, and interior subtiles (no mask can bite)
+    # take a select/iota-free fast path.  This keeps DMA large while
+    # causal/local masking wastes at most bks/2 columns per row.
+    min_kj, max_kj = _kv_block_bounds(p, qi, sq_b, sk_b, block_k=bks)
+    for j in range(nsub):
+        kgj = ki * nsub + j
+        needed = jnp.logical_and(kgj >= min_kj, kgj <= max_kj)
+        c0 = kgj * bks
+        c1 = c0 + bks - 1
+        interior = c1 < sk_b
+        if p.has_upper:
+            interior = jnp.logical_and(interior, c1 <= r0 + offset + p.wr)
+        if p.has_lower:
+            interior = jnp.logical_and(
+                interior, c0 >= r1 + offset - p.window_left
+            )
+
+        @pl.when(jnp.logical_and(needed, interior))
+        def _fast(j=j, kgj=kgj):
+            _update(j, kgj, masked=False)
+
+        @pl.when(jnp.logical_and(needed, jnp.logical_not(interior)))
+        def _slow(j=j, kgj=kgj):
+            _update(j, kgj, masked=True)
+
     @pl.when(ki == nk - 1)
     def _finalize():
         l_final = l_ref[:, :1]
@@ -176,11 +220,11 @@ def _fwd_kernel(p: FwdParams, sq_ref, sk_ref, *refs):
         empty = l_final == 0.0
         l_safe = jnp.where(empty, 1.0, l_final)
         o_ref[0, 0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
-        # Reference writes +inf LSE for fully-masked rows
+        # m is in raw-score units on the fast path; rescale for the natural-
+        # log LSE.  Reference writes +inf LSE for fully-masked rows
         # (`softmax.h:170` normalize_softmax_lse).
-        lse = jnp.where(
-            empty, jnp.inf, m_final + jnp.log(l_safe)
-        )
+        m_nat = m_final if generic else m_final * p.scale
+        lse = jnp.where(empty, jnp.inf, m_nat + jnp.log(l_safe))
         lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
@@ -198,6 +242,7 @@ def flash_attn_fwd_bhsd(
     alibi_slopes=None,
     block_q: int | None = None,
     block_k: int | None = None,
+    block_k_sub: int | None = None,
 ):
     """Forward flash attention on (b, h, s, d)-layout operands.
 
@@ -211,9 +256,15 @@ def flash_attn_fwd_bhsd(
     assert h % hk == 0, (h, hk)
     g = h // hk
 
-    bs = fwd_block_sizes(sq, sk, d)
+    boundary_heavy = causal or window_size[0] >= 0 or window_size[1] >= 0
+    bs = fwd_block_sizes(sq, sk, d, boundary_heavy=boundary_heavy)
     bq = block_q or bs.block_q
     bk = block_k or bs.block_k
+    # Measured on v5e: per-subtile softmax-state updates cost more than the
+    # masked-region MXU waste they avoid, so compute subtiling defaults off.
+    bks = block_k_sub or bk
+    if bk % bks != 0:
+        bks = bk
     sq_p = round_up(max(sq, bq), bq)
     sk_p = round_up(max(sk, bk), bk)
     if sq_p != sq:
@@ -235,6 +286,7 @@ def flash_attn_fwd_bhsd(
         block_q=bq,
         block_k=bk,
         num_kv_blocks=nk,
+        block_k_sub=bks,
     )
 
     def q_map(b_, h_, qi, ki, sq_ref, sk_ref):
@@ -301,6 +353,7 @@ def flash_attn_fwd_bhsd(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,

@@ -1,0 +1,100 @@
+"""Micro-benchmark harness (counterpart of `flash_attn/utils/benchmark.py`).
+
+Timing on this TPU environment has two traps:
+
+1. `block_until_ready()` returns before real device execution completes on
+   tunneled/async backends — only a host readback of a value forces
+   completion.  All timing here reads back a scalar reduction.
+2. Host<->device round-trip jitter (tens of ms) swamps single-kernel times,
+   so the op under test is *chained on device* N times inside one program
+   (carry -> carry), and time is the difference between a 2N-iteration and an
+   N-iteration program, median over repeats.  Pallas kernels are opaque to
+   XLA so chaining re-executes them; pure-XLA elementwise chains would be
+   fused into one pass and must not be timed this way.
+
+FLOPs accounting matches the reference
+(`benchmarks/benchmark_flash_attention.py:27-33`):
+fwd = 4*b*s^2*h*d (halved if causal), bwd = 2.5x fwd, fwd+bwd = 3.5x fwd.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _scalarize(tree):
+    leaves = jax.tree_util.tree_leaves(tree)
+    return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
+
+
+def benchmark_chained(step_fn, carry, *consts, iters: int = 32, reps: int = 3):
+    """Median per-iteration seconds of `carry -> step_fn(carry, *consts)`.
+
+    Large loop-invariant operands (weights, KV caches) must be passed via
+    `consts`, NOT closed over — closure arrays are inlined into the HLO as
+    literals and can overflow the remote-compile request.
+    """
+
+    def chain(n):
+        @jax.jit
+        def run(c, *cs):
+            c = jax.lax.fori_loop(
+                0, n, lambda i, c: step_fn(c, *cs), c
+            )
+            return _scalarize(c)
+
+        return run
+
+    g1, g2 = chain(iters), chain(2 * iters)
+    float(g1(carry, *consts))
+    float(g2(carry, *consts))
+    ds = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(g1(carry, *consts))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(g2(carry, *consts))
+        t2 = time.perf_counter() - t0
+        ds.append((t2 - t1) / iters)
+    return float(np.median(ds))
+
+
+def attention_flops(b, sq, sk, h, d, causal=False, mode="fwd"):
+    """Reference FLOPs model (`benchmarks/benchmark_flash_attention.py:27`)."""
+    f = 4 * b * sq * sk * h * d // (2 if causal else 1)
+    return {"fwd": f, "bwd": int(2.5 * f), "fwd_bwd": int(3.5 * f)}[mode]
+
+
+def benchmark_attention_fwd(
+    flash_fn, q, k, v, iters: int = 32, reps: int = 3, **kw
+):
+    """Time `flash_fn(q, k, v, **kw)` chained through q (same shape as out)."""
+
+    def step(q, k, v):
+        o = flash_fn(q, k, v, **kw)
+        return o.astype(q.dtype)
+
+    return benchmark_chained(step, q, k, v, iters=iters, reps=reps)
+
+
+def benchmark_attention_fwd_bwd(flash_fn, q, k, v, iters=16, reps=3, **kw):
+    """Time fwd+bwd chained through (q, k, v) gradients."""
+
+    def loss(q, k, v):
+        return jnp.sum(flash_fn(q, k, v, **kw).astype(jnp.float32))
+
+    grad = jax.grad(loss, argnums=(0, 1, 2))
+
+    def step(carry):
+        q, k, v = carry
+        dq, dk, dv = grad(q, k, v)
+        return (dq.astype(q.dtype) * 1e-3 + q,
+                dk.astype(k.dtype) * 1e-3 + k,
+                dv.astype(v.dtype) * 1e-3 + v)
+
+    return benchmark_chained(step, (q, k, v), iters=iters, reps=reps)
