@@ -72,6 +72,8 @@ def create_mixer_cls(config, layer_idx: int, dtype):
         use_alibi=_cfg(config, "use_alibi", False),
         dtype=dtype,
         tensor_parallel=_cfg(config, "tensor_parallel", False),
+        mesh=_cfg(config, "attn_mesh"),
+        shard_seq_axis=_cfg(config, "attn_seq_axis"),
     )
 
 
@@ -311,7 +313,7 @@ def gpt_partition_specs(params):
                 return P(None, "model")
             if "out_proj" in joined or "fc2" in joined:
                 return P("model", None)
-            if joined.endswith("wte"):
+            if joined.endswith("wte/embedding"):
                 return P("model", None)
         if x.ndim == 1:
             if any(s in joined for s in ("Wqkv/bias", "fc1/bias")):

@@ -26,9 +26,9 @@ class GPT2Embeddings(nn.Module):
 
     def setup(self):
         dim = self.word_embed_proj_dim or self.embed_dim
+        # vocab_parallel sharding is applied via gpt_partition_specs +
+        # device_put (GSPMD), not flax param boxing — keeps the tree plain.
         init = nn.initializers.normal(stddev=0.02)
-        if self.vocab_parallel:
-            init = nn.with_partitioning(init, ("model", None))
         self.wte = nn.Embed(
             self.vocab_size, dim, embedding_init=init, dtype=self.dtype,
             param_dtype=jnp.float32,

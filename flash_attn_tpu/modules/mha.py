@@ -148,6 +148,13 @@ class MHA(nn.Module):
     use_alibi: bool = False
     dtype: Any = jnp.float32
     tensor_parallel: bool = False  # head-shard weights over "model" axis
+    # When set, run the attention kernel per-shard under shard_map (Pallas
+    # is opaque to GSPMD): batch on "data", heads on "model", optionally q
+    # sequence on shard_seq_axis (all-gather-KV sequence parallelism).
+    mesh: Any = None
+    shard_batch_axis: str = "data"
+    shard_head_axis: str = "model"
+    shard_seq_axis: Optional[str] = None
 
     def _heads(self):
         h = self.num_heads
@@ -220,12 +227,28 @@ class MHA(nn.Module):
                 k = apply_rotary_emb(k, rotary._cos, rotary._sin,
                                      self.rotary_emb_interleaved)
             if self.use_flash_attn and key_padding_mask is None:
-                ctx = flash_attn_func(
-                    q, k, v, dropout_p=0.0 if deterministic else self.dropout,
-                    softmax_scale=scale, causal=self.causal,
-                    window_size=self.window_size, softcap=self.softcap,
-                    alibi_slopes=alibi,
-                )
+                if self.mesh is not None:
+                    from flash_attn_tpu.parallel.sharded_attention import (
+                        sharded_flash_attn_func,
+                    )
+
+                    ctx = sharded_flash_attn_func(
+                        self.mesh, q, k, v,
+                        batch_axis=self.shard_batch_axis,
+                        head_axis=self.shard_head_axis,
+                        seq_axis=self.shard_seq_axis,
+                        softmax_scale=scale, causal=self.causal,
+                        window_size=self.window_size, softcap=self.softcap,
+                        alibi_slopes=alibi,
+                    )
+                else:
+                    ctx = flash_attn_func(
+                        q, k, v,
+                        dropout_p=0.0 if deterministic else self.dropout,
+                        softmax_scale=scale, causal=self.causal,
+                        window_size=self.window_size, softcap=self.softcap,
+                        alibi_slopes=alibi,
+                    )
             else:
                 ctx, _ = attention_ref(
                     q, k, v, key_padding_mask=key_padding_mask,
