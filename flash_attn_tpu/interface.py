@@ -58,21 +58,22 @@ def _make_core(scale, causal, window, softcap, has_alibi, block_q, block_k):
 
     @jax.custom_vjp
     def core(q, k, v, slopes, seqused_q, seqused_k):
-        o, _ = flash_attn_fwd_bhsd(
+        return flash_attn_fwd_bhsd(
             q, k, v, seqused_q, seqused_k, alibi_slopes=slopes, **kw
         )
-        return o
 
     def core_fwd(q, k, v, slopes, seqused_q, seqused_k):
         o, lse = flash_attn_fwd_bhsd(
             q, k, v, seqused_q, seqused_k, alibi_slopes=slopes, **kw
         )
-        return o, (q, k, v, o, lse, slopes, seqused_q, seqused_k)
+        return (o, lse), (q, k, v, o, lse, slopes, seqused_q, seqused_k)
 
-    def core_bwd(res, do):
+    def core_bwd(res, cts):
+        do, dlse = cts
         q, k, v, o, lse, slopes, seqused_q, seqused_k = res
         dq, dk, dv = flash_attn_bwd_bhsd(
-            do, q, k, v, o, lse, seqused_q, seqused_k, alibi_slopes=slopes, **kw
+            do, q, k, v, o, lse, seqused_q, seqused_k, alibi_slopes=slopes,
+            dlse=dlse, **kw
         )
         return dq, dk, dv, None, None, None
 
@@ -89,18 +90,8 @@ def _attn_bhsd(
         (int(window_size[0]), int(window_size[1])), float(softcap),
         alibi_slopes is not None, block_q, block_k,
     )
-    o = core(q, k, v, alibi_slopes, seqused_q, seqused_k)
-    if return_lse:
-        # LSE is recomputed outside the vjp wrapper to keep the custom_vjp
-        # signature single-output; XLA CSEs the duplicate forward.
-        _, lse = flash_attn_fwd_bhsd(
-            q, k, v, seqused_q, seqused_k,
-            softmax_scale=softmax_scale, causal=causal, window_size=window_size,
-            softcap=softcap, alibi_slopes=alibi_slopes,
-            block_q=block_q, block_k=block_k,
-        )
-        return o, lse
-    return o, None
+    o, lse = core(q, k, v, alibi_slopes, seqused_q, seqused_k)
+    return o, (lse if return_lse else None)
 
 
 def _check_dropout(dropout_p):

@@ -282,12 +282,17 @@ def flash_attn_bwd_bhsd(
     alibi_slopes=None,
     block_q: int | None = None,
     block_k: int | None = None,
+    dlse=None,
 ):
     """Backward flash attention on (b, h, s, d)-layout operands.
 
     do/q/o: (b, h, sq, d); k/v: (b, hk, sk, d); lse: (b, h, sq) float32.
-    Returns (dq, dk, dv) in input dtypes with k/v grads already
-    group-reduced for GQA (reference `run_mha_bwd`, `flash_api.cpp:757`).
+    `dlse` (b, h, sq) is the cotangent of the LSE output (nonzero when the
+    LSE feeds later math, e.g. ring-attention merges / split combines);
+    since d(lse)/d(s) = p, it folds into the delta term: ds = p * (dp -
+    (delta - dlse)).  Returns (dq, dk, dv) in input dtypes with k/v grads
+    already group-reduced for GQA (reference `run_mha_bwd`,
+    `flash_api.cpp:757`).
     """
     b, h, sq, d = q.shape
     _, hk, sk, _ = k.shape
@@ -302,6 +307,8 @@ def flash_attn_bwd_bhsd(
     delta = jnp.sum(
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
     )  # (b, h, sq) — the dO . O preprocess (`flash_bwd_preprocess_kernel.h`)
+    if dlse is not None:
+        delta = delta - dlse.astype(jnp.float32)
 
     def pad_s(x, target, axis=2):
         padw = [(0, 0)] * x.ndim
