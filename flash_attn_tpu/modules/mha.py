@@ -28,7 +28,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-from flash_attn_tpu.interface import flash_attn_func
+from flash_attn_tpu.interface import _attn_bhsd, flash_attn_func
 from flash_attn_tpu.kernels.flash_decode import decode_attn_bhsd
 from flash_attn_tpu.kernels.flash_fwd import flash_attn_fwd_bhsd
 from flash_attn_tpu.layers.rotary import RotaryEmbedding
@@ -226,7 +226,23 @@ class MHA(nn.Module):
                                      self.rotary_emb_interleaved)
                 k = apply_rotary_emb(k, rotary._cos, rotary._sin,
                                      self.rotary_emb_interleaved)
-            if self.use_flash_attn and key_padding_mask is None:
+            if self.use_flash_attn and key_padding_mask is not None:
+                # prefix padding masks (the BERT/varlen case) map onto the
+                # kernel's per-batch seqused lengths; outputs in padded rows
+                # are zeroed like `attention_ref` does.
+                lengths = jnp.sum(key_padding_mask.astype(jnp.int32), axis=-1)
+                o, _ = _attn_bhsd(
+                    jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                    jnp.swapaxes(v, 1, 2),
+                    softmax_scale=scale, causal=self.causal,
+                    window_size=self.window_size, softcap=self.softcap,
+                    alibi_slopes=alibi, seqused_q=lengths, seqused_k=lengths,
+                )
+                ctx = jnp.swapaxes(o, 1, 2)
+                ctx = jnp.where(
+                    key_padding_mask[:, :, None, None], ctx, 0.0
+                )
+            elif self.use_flash_attn:
                 if self.mesh is not None:
                     from flash_attn_tpu.parallel.sharded_attention import (
                         sharded_flash_attn_func,

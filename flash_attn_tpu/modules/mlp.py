@@ -79,11 +79,15 @@ class GatedMlp(nn.Module):
     def __call__(self, x):
         in_features = x.shape[-1]
         out_features = self.out_features or in_features
-        hidden_features = self.hidden_features or int(8 * in_features / 3)
-        hidden_features = (
-            (hidden_features + self.multiple_of - 1)
-            // self.multiple_of * self.multiple_of
-        )
+        hidden_features = self.hidden_features
+        if hidden_features is None:
+            # multiple_of rounding applies only to the derived 8/3 default
+            # (`modules/mlp.py:117` reference); explicit sizes are exact.
+            hidden_features = int(8 * in_features / 3)
+            hidden_features = (
+                (hidden_features + self.multiple_of - 1)
+                // self.multiple_of * self.multiple_of
+            )
         y = nn.Dense(
             2 * hidden_features,
             use_bias=self.bias1,
