@@ -1,0 +1,135 @@
+"""Typed training configuration.
+
+TPU-native replacement for the reference's Hydra YAML composition
+(`training/configs/config.yaml` + ~100 experiment YAMLs): one dataclass
+tree, composable from YAML files or dicts with override-merge semantics
+(`experiment=...` in the reference maps to `load_config(path, overrides)`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+@dataclass
+class ModelConfig:
+    name: str = "gpt2-small"
+    n_embd: int = 768
+    n_layer: int = 12
+    n_head: int = 12
+    n_head_kv: Optional[int] = None
+    vocab_size: int = 50257
+    max_position_embeddings: int = 1024
+    rms_norm: bool = False
+    rotary_emb_fraction: float = 0.0
+    activation_function: str = "gelu_new"
+    residual_in_fp32: bool = True
+    tie_word_embeddings: bool = True
+    parallel_block: bool = False
+    dtype: str = "bfloat16"
+
+    def to_gpt2_config(self):
+        from transformers import GPT2Config
+
+        cfg = GPT2Config(
+            n_embd=self.n_embd, n_layer=self.n_layer, n_head=self.n_head,
+            vocab_size=self.vocab_size,
+            n_positions=self.max_position_embeddings,
+            activation_function=self.activation_function,
+            resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+        )
+        cfg.rms_norm = self.rms_norm
+        cfg.rotary_emb_fraction = self.rotary_emb_fraction
+        cfg.residual_in_fp32 = self.residual_in_fp32
+        cfg.tie_word_embeddings = self.tie_word_embeddings
+        cfg.parallel_block = self.parallel_block
+        if self.n_head_kv:
+            cfg.n_head_kv = self.n_head_kv
+        return cfg
+
+
+@dataclass
+class OptimizerConfig:
+    name: str = "adamw"
+    lr: float = 6e-4
+    weight_decay: float = 0.1
+    beta1: float = 0.9
+    beta2: float = 0.95
+    eps: float = 1e-8
+    grad_clip: float = 1.0
+    # ZeRO-style optimizer-state sharding over the data axis
+    shard_optimizer_state: bool = False
+
+
+@dataclass
+class SchedulerConfig:
+    name: str = "cosine"  # cosine | linear | constant
+    warmup_steps: int = 100
+    decay_steps: int = 10000
+    min_lr_ratio: float = 0.1
+
+
+@dataclass
+class DataConfig:
+    dataset: str = "synthetic"  # synthetic | <path to token .npy/.bin>
+    seq_len: int = 1024
+    batch_size: int = 8
+    seed: int = 0
+
+
+@dataclass
+class MeshConfig:
+    data: int = 1
+    model: int = 1
+    seq: int = 1
+
+
+@dataclass
+class TrainerConfig:
+    max_steps: int = 100
+    log_every: int = 10
+    eval_every: int = 0
+    eval_steps: int = 10
+    checkpoint_every: int = 0
+    checkpoint_dir: str = "checkpoints"
+    resume: bool = True
+    seed: int = 0
+
+
+@dataclass
+class TrainConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    trainer: TrainerConfig = field(default_factory=TrainerConfig)
+
+
+def _merge(dc, overrides: dict):
+    for k, v in overrides.items():
+        if not hasattr(dc, k):
+            raise KeyError(f"unknown config key {k!r} for {type(dc).__name__}")
+        cur = getattr(dc, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            _merge(cur, v)
+        else:
+            setattr(dc, k, v)
+    return dc
+
+
+def load_config(path: Optional[str] = None, overrides: Optional[dict] = None,
+                base: Optional[TrainConfig] = None) -> TrainConfig:
+    """Compose a TrainConfig from an optional YAML file + dict overrides
+    (the Hydra-compose analogue)."""
+    cfg = base or TrainConfig()
+    if path is not None:
+        import yaml
+
+        with open(path) as f:
+            _merge(cfg, yaml.safe_load(f) or {})
+    if overrides:
+        _merge(cfg, overrides)
+    return cfg
