@@ -103,6 +103,10 @@ def _check_dropout(dropout_p):
         )
 
 
+def _is_fp8(x):
+    return jnp.issubdtype(x.dtype, jnp.floating) and x.dtype.itemsize == 1
+
+
 def flash_attn_func(
     q,
     k,
@@ -115,6 +119,9 @@ def flash_attn_func(
     alibi_slopes=None,
     deterministic=False,
     return_attn_probs=False,
+    q_descale=None,
+    k_descale=None,
+    v_descale=None,
 ):
     """Multi-head attention, (b, s, h, d) layout (`flash_attn_func:1145`).
 
@@ -122,6 +129,10 @@ def flash_attn_func(
     ALiBi, softcapping.  Returns out, or (out, softmax_lse, None) when
     `return_attn_probs` (the reference's S_dmask is debug-only; we return
     None for it).
+
+    FP8: float8_e4m3fn q/k/v with (b, nheads_k) float32 `{q,k,v}_descale`
+    run the dequantising forward kernel (FA3 FP8 semantics,
+    `hopper/flash_attn_interface.py` descale args); forward-only, bf16 out.
     """
     _check_dropout(dropout_p)
     del deterministic  # always deterministic on TPU
@@ -134,12 +145,26 @@ def flash_attn_func(
     vt = jnp.swapaxes(v, 1, 2)
     seqused_q = jnp.full((b,), sq, jnp.int32)
     seqused_k = jnp.full((b,), sk, jnp.int32)
-    o, lse = _attn_bhsd(
-        qt, kt, vt, softmax_scale=softmax_scale, causal=causal,
-        window_size=window_size, softcap=softcap, alibi_slopes=alibi_slopes,
-        seqused_q=seqused_q, seqused_k=seqused_k,
-        return_lse=return_attn_probs,
-    )
+    if _is_fp8(q):
+        # Forward-only (the reference FP8 kernel has no backward either).
+        from flash_attn_tpu.kernels.flash_fwd import flash_attn_fwd_bhsd
+
+        o, lse = flash_attn_fwd_bhsd(
+            qt, kt, vt, seqused_q, seqused_k,
+            softmax_scale=float(softmax_scale), causal=causal,
+            window_size=window_size, softcap=softcap,
+            alibi_slopes=alibi_slopes,
+            q_descale=q_descale, k_descale=k_descale, v_descale=v_descale,
+        )
+        lse = lse if return_attn_probs else None
+    else:
+        o, lse = _attn_bhsd(
+            qt, kt, vt, softmax_scale=softmax_scale, causal=causal,
+            window_size=window_size, softcap=softcap,
+            alibi_slopes=alibi_slopes,
+            seqused_q=seqused_q, seqused_k=seqused_k,
+            return_lse=return_attn_probs,
+        )
     o = jnp.swapaxes(o, 1, 2)
     if return_attn_probs:
         return o, lse, None

@@ -56,6 +56,11 @@ class FwdParams:
     block_k: int  # major KV tile: DMA + grid granularity
     num_kv_blocks: int
     block_k_sub: int = 0  # compute subtile (<= block_k); 0 = same as block_k
+    # FP8 (e4m3) inputs with per-(batch, kv-head) descale, the TPU analogue
+    # of the Hopper FP8 path (`hopper/flash_api.cpp:694-696` q/k/v_descale).
+    # Tiles are dequantised to bf16 on load — fwd HBM traffic halves, the
+    # MXU runs bf16 (v5e has no native fp8 matmul).
+    fp8: bool = False
 
     @property
     def local(self) -> bool:
@@ -102,13 +107,19 @@ def _kv_block_bounds(p: FwdParams, qi, sq_b, sk_b, block_k: int | None = None):
 
 
 def _fwd_kernel(p: FwdParams, sq_ref, sk_ref, *refs):
-    if p.has_alibi:
-        q_ref, k_ref, v_ref, slopes_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
+    refs = list(refs)
+    q_ref, k_ref, v_ref = refs[:3]
+    refs = refs[3:]
+    slopes_ref = refs.pop(0) if p.has_alibi else None
+    if p.fp8:
+        qd_ref, kd_ref, vd_ref = refs[:3]
+        refs = refs[3:]
     else:
-        q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
-        slopes_ref = None
+        qd_ref = kd_ref = vd_ref = None
+    o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
 
     b = pl.program_id(0)
+    hq = pl.program_id(1)
     ki = pl.program_id(3)
     qi = pl.program_id(2)
     nk = pl.num_programs(3)
@@ -124,6 +135,15 @@ def _fwd_kernel(p: FwdParams, sq_ref, sk_ref, *refs):
     generic = p.softcap > 0.0 or p.has_alibi
     c = LOG2E if generic else 1.0
 
+    if p.fp8:
+        # Dequantise Q once per grid step, folding the qk descale (and, on
+        # the fast path, scale*log2(e)) into the same scalar multiply.
+        deq = qd_ref[b, hq // p.g] * kd_ref[b, hq // p.g]
+        qmul = deq if generic else deq * (p.scale * LOG2E)
+        q_tile = (q_ref[0, 0].astype(jnp.float32) * qmul).astype(jnp.bfloat16)
+    else:
+        q_tile = q_ref[0, 0]
+
     @pl.when(ki == 0)
     def _init():
         m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
@@ -138,9 +158,12 @@ def _fwd_kernel(p: FwdParams, sq_ref, sk_ref, *refs):
 
     def _update(j, kgj, masked: bool):
         """Process one (bq, bks) compute subtile at global subtile idx kgj."""
-        q = q_ref[0, 0]  # (bq, d)
+        q = q_tile  # (bq, d)
         k = k_ref[0, 0, j * bks:(j + 1) * bks, :]  # (bks, d), static slice
         v = v_ref[0, 0, j * bks:(j + 1) * bks, :]
+        if p.fp8:
+            k = k.astype(jnp.bfloat16)
+            v = v.astype(jnp.bfloat16)
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -155,7 +178,7 @@ def _fwd_kernel(p: FwdParams, sq_ref, sk_ref, *refs):
             rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bks), 0)
             cols = kgj * bks + jax.lax.broadcasted_iota(jnp.int32, (bq, bks), 1)
         if p.has_alibi:
-            slope = slopes_ref[0, 0]
+            slope = slopes_ref[b, hq]
             s = s - slope * jnp.abs(rows + offset - cols).astype(jnp.float32)
         if masked:
             mask = cols >= sk_b
@@ -220,7 +243,10 @@ def _fwd_kernel(p: FwdParams, sq_ref, sk_ref, *refs):
         m_final = m_ref[:, :1]
         empty = l_final == 0.0
         l_safe = jnp.where(empty, 1.0, l_final)
-        o_ref[0, 0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
+        acc = acc_ref[...]
+        if p.fp8:
+            acc = acc * vd_ref[b, hq // p.g]
+        o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
         # m is in scale*log2(e) units on the fast path (Q pre-scaled);
         # rescale for the natural-log LSE.  Reference writes +inf LSE for
         # fully-masked rows (`softmax.h:170` normalize_softmax_lse).
@@ -241,6 +267,9 @@ def flash_attn_fwd_bhsd(
     window_size=(-1, -1),
     softcap: float = 0.0,
     alibi_slopes=None,
+    q_descale=None,
+    k_descale=None,
+    v_descale=None,
     block_q: int | None = None,
     block_k: int | None = None,
     block_k_sub: int | None = None,
@@ -251,11 +280,17 @@ def flash_attn_fwd_bhsd(
     lengths (handles varlen and non-block-multiple padding uniformly).
     Returns o: (b, h, sq, d) in q.dtype and lse: (b, h, sq) float32
     (natural-log, reference layout `flash_api.cpp:351` mha_fwd).
+
+    FP8: when q/k/v are float8_e4m3fn, `{q,k,v}_descale` are (b, nheads_k)
+    float32 dequantisation factors (Hopper FP8 semantics,
+    `hopper/flash_api.cpp:694-696`); the output is bfloat16.
     """
     b, h, sq, d = q.shape
     _, hk, sk, _ = k.shape
     assert h % hk == 0, (h, hk)
     g = h // hk
+    fp8 = jnp.issubdtype(q.dtype, jnp.floating) and q.dtype.itemsize == 1
+    out_dtype = jnp.bfloat16 if fp8 else q.dtype
 
     boundary_heavy = causal or window_size[0] >= 0 or window_size[1] >= 0
     bs = fwd_block_sizes(sq, sk, d, boundary_heavy=boundary_heavy)
@@ -286,9 +321,10 @@ def flash_attn_fwd_bhsd(
         block_k=bk,
         num_kv_blocks=nk,
         block_k_sub=bks,
+        fp8=bool(fp8),
     )
 
-    if not (p.softcap > 0.0 or p.has_alibi):
+    if not (p.softcap > 0.0 or p.has_alibi) and not fp8:
         # Fold scale*log2(e) into Q (see _fwd_kernel); rounding back to the
         # input dtype adds at most one extra ulp of quantisation, same order
         # as the input's own low-precision error.
@@ -319,14 +355,19 @@ def flash_attn_fwd_bhsd(
         slopes = jnp.broadcast_to(
             jnp.asarray(alibi_slopes, jnp.float32).reshape(-1, h), (b, h)
         )
-        in_specs.append(
-            pl.BlockSpec(
-                (1, 1),
-                lambda b_, h_, qi, ki, sq_ref, sk_ref: (b_, h_),
-                memory_space=pltpu.SMEM,
-            )
-        )
+        # Whole array resident in SMEM; the kernel indexes [b, h] directly
+        # (Mosaic requires SMEM blocks to cover the full array).
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(slopes)
+    if fp8:
+        for ds in (q_descale, k_descale, v_descale):
+            ds = jnp.ones((b, hk), jnp.float32) if ds is None else (
+                jnp.broadcast_to(
+                    jnp.asarray(ds, jnp.float32).reshape(-1, hk), (b, hk)
+                )
+            )
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            inputs.append(ds)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -353,7 +394,7 @@ def flash_attn_fwd_bhsd(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq_p, d), out_dtype),
             jax.ShapeDtypeStruct((b, h, sq_p, LANES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(

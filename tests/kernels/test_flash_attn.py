@@ -283,3 +283,56 @@ def test_flash_attn_seqlen_one():
     out_ref, _ = attention_ref(q, k, v, causal=True)
     out_pt, _ = attention_ref(q, k, v, causal=True, upcast=False, reorder_ops=True)
     check_close(out, out_ref, out_pt)
+
+
+def _quantize_e4m3(x, axis_head):
+    """Per-(batch, head) symmetric quantisation to float8_e4m3fn.
+
+    Returns (x_fp8, descale) with descale shaped (b, h) — the FA3 FP8
+    calling convention (`hopper/flash_api.cpp:694-696`).
+    """
+    amax = jnp.max(jnp.abs(x), axis=tuple(
+        i for i in range(x.ndim) if i not in (0, axis_head)
+    ))
+    scale = 448.0 / jnp.maximum(amax, 1e-12)  # e4m3 max normal = 448
+    shape = [1] * x.ndim
+    shape[0], shape[axis_head] = x.shape[0], x.shape[axis_head]
+    xq = (x * scale.reshape(shape)).astype(jnp.float8_e4m3fn)
+    return xq, (1.0 / scale).astype(jnp.float32)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("d", [64, 128])
+def test_flash_attn_fp8(d, causal):
+    """FP8 fwd with per-head descale (reference FP8 gate:
+    `hopper/test_flash_attn.py` fp8 parametrisation — output compared to the
+    fp32 oracle run on the dequantised inputs, tolerance relative to the
+    quantisation-induced error)."""
+    b, h, hk, sq, sk = 2, 8, 4, 256, 288
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, sk, hk, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, sk, hk, d)), jnp.float32)
+    # GQA: q descale must be per kv-head -> quantise q per kv-head group
+    qg = q.reshape(b, sq, hk, h // hk * d)
+    qq, q_descale = _quantize_e4m3(qg, 2)
+    qq = qq.reshape(b, sq, h, d)
+    kq, k_descale = _quantize_e4m3(k, 2)
+    vq, v_descale = _quantize_e4m3(v, 2)
+
+    out = flash_attn_func(
+        qq, kq, vq, causal=causal,
+        q_descale=q_descale, k_descale=k_descale, v_descale=v_descale,
+    )
+    assert out.dtype == jnp.bfloat16
+
+    # Oracle on the dequantised values (exactly what the kernel sees).
+    qd = qq.astype(jnp.float32) * jnp.repeat(q_descale, h // hk, 1)[:, None, :, None]
+    kd = kq.astype(jnp.float32) * k_descale[:, None, :, None]
+    vd = vq.astype(jnp.float32) * v_descale[:, None, :, None]
+    out_ref, _ = attention_ref(qd, kd, vd, causal=causal)
+    out_pt, _ = attention_ref(
+        qd.astype(jnp.bfloat16), kd.astype(jnp.bfloat16),
+        vd.astype(jnp.bfloat16), causal=causal, upcast=False, reorder_ops=True,
+    )
+    check_close(out, out_ref, out_pt)
