@@ -98,6 +98,7 @@ def _bwd_dq_kernel(p: BwdParams, sq_ref, sk_ref, *refs):
         slopes_ref = None
 
     b = pl.program_id(0)
+    hq = pl.program_id(1)
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -134,7 +135,7 @@ def _bwd_dq_kernel(p: BwdParams, sq_ref, sk_ref, *refs):
             s_cap = jnp.tanh(s / p.softcap) * p.softcap
             s = s_cap
         if p.has_alibi:
-            slope = slopes_ref[0, 0]
+            slope = slopes_ref[b, hq]
             s = s - slope * jnp.abs(rows + offset - cols).astype(jnp.float32)
 
         mask = cols >= sk_b
@@ -190,6 +191,7 @@ def _bwd_dkv_kernel(p: BwdParams, sq_ref, sk_ref, *refs):
         slopes_ref = None
 
     b = pl.program_id(0)
+    hk_i = pl.program_id(1)
     ki = pl.program_id(2)
     t = pl.program_id(3)
     nt = pl.num_programs(3)
@@ -230,7 +232,7 @@ def _bwd_dkv_kernel(p: BwdParams, sq_ref, sk_ref, *refs):
             s_cap = jnp.tanh(s / p.softcap) * p.softcap
             s = s_cap
         if p.has_alibi:
-            slope = slopes_ref[0, 0]
+            slope = slopes_ref[b, hk_i * p.g + t % p.g]
             s = s - slope * jnp.abs(rows + offset - cols).astype(jnp.float32)
 
         mask = cols >= sk_b
@@ -372,10 +374,9 @@ def flash_attn_bwd_bhsd(
     ]
     inputs = [q, k, v, do, lse_r, delta_r]
     if slopes is not None:
-        in_specs.append(
-            pl.BlockSpec((1, 1), lambda b_, h_, qi, ki, *_: (b_, h_),
-                         memory_space=pltpu.SMEM)
-        )
+        # Whole array in SMEM; kernels index [b, h] (Mosaic requires SMEM
+        # blocks to cover the full array).
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(slopes)
 
     dq = pl.pallas_call(
@@ -417,13 +418,7 @@ def flash_attn_bwd_bhsd(
     ]
     inputs2 = [q, k, v, do, lse_r, delta_r]
     if slopes is not None:
-        in_specs2.append(
-            pl.BlockSpec(
-                (1, 1),
-                lambda b_, hk_, ki, t, *_: (b_, hk_ * g + t % g),
-                memory_space=pltpu.SMEM,
-            )
-        )
+        in_specs2.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs2.append(slopes)
 
     dk, dv = pl.pallas_call(
