@@ -18,6 +18,11 @@ from flash_attn_tpu.interface import (
     flash_attn_varlen_qkvpacked_func,
     flash_attn_with_kvcache,
 )
+from flash_attn_tpu.kernels.flex import (
+    BlockMask,
+    create_block_mask,
+    flex_attention,
+)
 
 __all__ = [
     "__version__",
@@ -28,4 +33,7 @@ __all__ = [
     "flash_attn_varlen_kvpacked_func",
     "flash_attn_varlen_qkvpacked_func",
     "flash_attn_with_kvcache",
+    "BlockMask",
+    "create_block_mask",
+    "flex_attention",
 ]
