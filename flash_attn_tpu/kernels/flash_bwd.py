@@ -298,6 +298,7 @@ def flash_attn_bwd_bhsd(
     """
     b, h, sq, d = q.shape
     _, hk, sk, _ = k.shape
+    dv_dim = v.shape[-1]  # may differ from d (MLA shapes, FA3 hdim_v)
     g = h // hk
 
     bs = bwd_block_sizes(sq, sk, d)
@@ -367,8 +368,8 @@ def flash_attn_bwd_bhsd(
     in_specs = [
         pl.BlockSpec((1, 1, bq, d), q_map),
         pl.BlockSpec((1, 1, bk, d), kv_map_dq),
-        pl.BlockSpec((1, 1, bk, d), kv_map_dq),
-        pl.BlockSpec((1, 1, bq, d), q_map),
+        pl.BlockSpec((1, 1, bk, dv_dim), kv_map_dq),
+        pl.BlockSpec((1, 1, bq, dv_dim), q_map),
         pl.BlockSpec((1, 1, bq, STAT_LANES), stat_map),
         pl.BlockSpec((1, 1, bq, STAT_LANES), stat_map),
     ]
@@ -411,8 +412,8 @@ def flash_attn_bwd_bhsd(
     in_specs2 = [
         pl.BlockSpec((1, 1, bq, d), qhead_map),
         pl.BlockSpec((1, 1, bk, d), kv_map_dkv),
-        pl.BlockSpec((1, 1, bk, d), kv_map_dkv),
-        pl.BlockSpec((1, 1, bq, d), qhead_map),
+        pl.BlockSpec((1, 1, bk, dv_dim), kv_map_dkv),
+        pl.BlockSpec((1, 1, bq, dv_dim), qhead_map),
         pl.BlockSpec((1, 1, bq, STAT_LANES), qhead_map),
         pl.BlockSpec((1, 1, bq, STAT_LANES), qhead_map),
     ]
@@ -429,16 +430,16 @@ def flash_attn_bwd_bhsd(
             in_specs=in_specs2,
             out_specs=[
                 pl.BlockSpec((1, 1, bk, d), kv_map_dkv),
-                pl.BlockSpec((1, 1, bk, d), kv_map_dkv),
+                pl.BlockSpec((1, 1, bk, dv_dim), kv_map_dkv),
             ],
             scratch_shapes=[
                 pltpu.VMEM((bk, d), jnp.float32),
-                pltpu.VMEM((bk, d), jnp.float32),
+                pltpu.VMEM((bk, dv_dim), jnp.float32),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((b, hk, sk_p, d), k.dtype),
-            jax.ShapeDtypeStruct((b, hk, sk_p, d), v.dtype),
+            jax.ShapeDtypeStruct((b, hk, sk_p, dv_dim), v.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),

@@ -61,6 +61,9 @@ class FwdParams:
     # Tiles are dequantised to bf16 on load — fwd HBM traffic halves, the
     # MXU runs bf16 (v5e has no native fp8 matmul).
     fp8: bool = False
+    # Learnable per-head attention sink: a virtual logit that joins the
+    # softmax denominator only (reference `cute/interface.py:1149`).
+    has_sinks: bool = False
 
     @property
     def local(self) -> bool:
@@ -116,6 +119,7 @@ def _fwd_kernel(p: FwdParams, sq_ref, sk_ref, *refs):
         refs = refs[3:]
     else:
         qd_ref = kd_ref = vd_ref = None
+    sinks_ref = refs.pop(0) if p.has_sinks else None
     o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
 
     b = pl.program_id(0)
@@ -241,9 +245,21 @@ def _fwd_kernel(p: FwdParams, sq_ref, sk_ref, *refs):
     def _finalize():
         l_final = l_ref[:, :1]
         m_final = m_ref[:, :1]
+        acc = acc_ref[...]
+        if p.has_sinks:
+            # One more online-softmax step against a virtual single-logit
+            # "block" that contributes no value (denominator only).
+            sink = sinks_ref[hq]  # natural scaled-logit units
+            sink_k = sink * LOG2E if not generic else sink
+            cc = 1.0 if not generic else LOG2E
+            m_eff = jnp.maximum(m_final, sink_k)
+            alpha = jnp.exp2((m_final - m_eff) * cc)
+            sink_p = jnp.exp2((sink_k - m_eff) * cc)
+            acc = acc * alpha
+            l_final = l_final * alpha + sink_p
+            m_final = m_eff
         empty = l_final == 0.0
         l_safe = jnp.where(empty, 1.0, l_final)
-        acc = acc_ref[...]
         if p.fp8:
             acc = acc * vd_ref[b, hq // p.g]
         o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
@@ -270,23 +286,30 @@ def flash_attn_fwd_bhsd(
     q_descale=None,
     k_descale=None,
     v_descale=None,
+    sinks=None,
     block_q: int | None = None,
     block_k: int | None = None,
     block_k_sub: int | None = None,
 ):
     """Forward flash attention on (b, h, s, d)-layout operands.
 
-    q: (b, h, sq, d); k/v: (b, hk, sk, d); seqused_{q,k}: (b,) int32 actual
-    lengths (handles varlen and non-block-multiple padding uniformly).
-    Returns o: (b, h, sq, d) in q.dtype and lse: (b, h, sq) float32
-    (natural-log, reference layout `flash_api.cpp:351` mha_fwd).
+    q: (b, h, sq, d); k: (b, hk, sk, d); v: (b, hk, sk, dv) — `dv` may
+    differ from `d` (MLA shapes, e.g. DeepSeek d=576/dv=512; reference FA3
+    hdim_v support, `hopper/flash_api.cpp:673` mha_fwd).  seqused_{q,k}:
+    (b,) int32 actual lengths (handles varlen and non-block-multiple
+    padding uniformly).  Returns o: (b, h, sq, dv) in q.dtype and lse:
+    (b, h, sq) float32 (natural-log, reference layout `flash_api.cpp:351`).
 
     FP8: when q/k/v are float8_e4m3fn, `{q,k,v}_descale` are (b, nheads_k)
     float32 dequantisation factors (Hopper FP8 semantics,
     `hopper/flash_api.cpp:694-696`); the output is bfloat16.
+
+    `sinks`: (nheads,) float32 learnable attention-sink logits joining the
+    softmax denominator only (reference `cute/interface.py:1149`).
     """
     b, h, sq, d = q.shape
     _, hk, sk, _ = k.shape
+    dv = v.shape[-1]
     assert h % hk == 0, (h, hk)
     g = h // hk
     fp8 = jnp.issubdtype(q.dtype, jnp.floating) and q.dtype.itemsize == 1
@@ -322,6 +345,7 @@ def flash_attn_fwd_bhsd(
         num_kv_blocks=nk,
         block_k_sub=bks,
         fp8=bool(fp8),
+        has_sinks=sinks is not None,
     )
 
     if not (p.softcap > 0.0 or p.has_alibi) and not fp8:
@@ -348,7 +372,7 @@ def flash_attn_fwd_bhsd(
     in_specs = [
         pl.BlockSpec((1, 1, bq, d), q_map),
         pl.BlockSpec((1, 1, bk, d), kv_map),
-        pl.BlockSpec((1, 1, bk, d), kv_map),
+        pl.BlockSpec((1, 1, bk, dv), kv_map),
     ]
     inputs = [q, k, v]
     if alibi_slopes is not None:
@@ -368,19 +392,22 @@ def flash_attn_fwd_bhsd(
             )
             in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
             inputs.append(ds)
+    if sinks is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(jnp.asarray(sinks, jnp.float32).reshape(h))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, h, nq, nk),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, bq, d), out_map),
+            pl.BlockSpec((1, 1, bq, dv), out_map),
             # LSE is lane-replicated to a (…, 128) trailing dim: TPU block
             # shapes need the last dim tiled; the wrapper strips it.
             pl.BlockSpec((1, 1, bq, LANES), lse_map),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, dv), jnp.float32),
             pltpu.VMEM((bq, LANES), jnp.float32),
             pltpu.VMEM((bq, LANES), jnp.float32),
         ],
@@ -394,7 +421,7 @@ def flash_attn_fwd_bhsd(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, sq_p, d), out_dtype),
+            jax.ShapeDtypeStruct((b, h, sq_p, dv), out_dtype),
             jax.ShapeDtypeStruct((b, h, sq_p, LANES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(

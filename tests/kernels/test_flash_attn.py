@@ -336,3 +336,74 @@ def test_flash_attn_fp8(d, causal):
         vd.astype(jnp.bfloat16), causal=causal, upcast=False, reorder_ops=True,
     )
     check_close(out, out_ref, out_pt)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attn_mla_headdims(causal):
+    """hdim_qk != hdim_v (DeepSeek/MLA shapes; FA3 hdim_v support,
+    `hopper/flash_api.cpp:673`, cute `(192, 128)` Blackwell shape)."""
+    b, h, hk, sq, sk = 2, 4, 2, 224, 256
+    d, dv = 192, 128
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, sk, hk, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, sk, hk, dv)), jnp.bfloat16)
+    out = flash_attn_func(q, k, v, causal=causal)
+    assert out.shape == (b, sq, h, dv)
+    out_ref, _ = attention_ref(q, k, v, causal=causal)
+    out_pt, _ = attention_ref(q, k, v, causal=causal, upcast=False,
+                              reorder_ops=True)
+    check_close(out, out_ref, out_pt)
+
+    # grads
+    g = jnp.asarray(rng.standard_normal(out.shape), out.dtype)
+
+    def lf(q, k, v):
+        o = flash_attn_func(q, k, v, causal=causal)
+        return jnp.sum(o.astype(jnp.float32) * g.astype(jnp.float32))
+
+    def lr(q, k, v, up=True, ro=False):
+        o = attention_ref(q, k, v, causal=causal, upcast=up, reorder_ops=ro)[0]
+        return jnp.sum(o.astype(jnp.float32) * g.astype(jnp.float32))
+
+    df = jax.grad(lf, (0, 1, 2))(q, k, v)
+    dr = jax.grad(lr, (0, 1, 2))(q, k, v)
+    dp = jax.grad(lambda q, k, v: lr(q, k, v, up=False, ro=True), (0, 1, 2))(q, k, v)
+    for a, r, p in zip(df, dr, dp):
+        check_close(a, r, p)
+
+
+def test_flash_attn_sinks():
+    """Learnable attention sink joins the softmax denominator
+    (`cute/interface.py:1149`)."""
+    from flash_attn_tpu.kernels.flash_fwd import flash_attn_fwd_bhsd
+
+    b, h, s, d = 2, 4, 192, 64
+    rng = np.random.default_rng(12)
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
+    sinks = jnp.asarray(rng.standard_normal(h), jnp.float32)
+    su = jnp.full((b,), s, jnp.int32)
+    scale = d ** -0.5
+
+    for causal in (False, True):
+        o, lse = flash_attn_fwd_bhsd(
+            q, k, v, su, su, softmax_scale=scale, causal=causal, sinks=sinks
+        )
+        # reference: append a virtual logit column = sink, no value
+        sc = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * scale
+        if causal:
+            mask = jnp.tril(jnp.ones((s, s), bool))
+            sc = jnp.where(mask, sc, -jnp.inf)
+        sc_aug = jnp.concatenate(
+            [sc, jnp.broadcast_to(sinks[None, :, None, None], (b, h, s, 1))],
+            axis=-1,
+        )
+        p_aug = jax.nn.softmax(sc_aug, axis=-1)
+        o_ref = jnp.einsum("bhqk,bhkd->bhqd", p_aug[..., :-1],
+                           v.astype(jnp.float32))
+        lse_ref = jax.nn.logsumexp(sc_aug, axis=-1)
+        assert float(jnp.abs(o.astype(jnp.float32) - o_ref).max()) < 2e-2
+        assert float(jnp.abs(lse - lse_ref).max()) < 5e-3
