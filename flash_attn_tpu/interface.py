@@ -122,6 +122,7 @@ def flash_attn_func(
     q_descale=None,
     k_descale=None,
     v_descale=None,
+    sinks=None,
 ):
     """Multi-head attention, (b, s, h, d) layout (`flash_attn_func:1145`).
 
@@ -133,6 +134,9 @@ def flash_attn_func(
     FP8: float8_e4m3fn q/k/v with (b, nheads_k) float32 `{q,k,v}_descale`
     run the dequantising forward kernel (FA3 FP8 semantics,
     `hopper/flash_attn_interface.py` descale args); forward-only, bf16 out.
+
+    `sinks`: (nheads,) learnable attention-sink logits (softmax denominator
+    only; `cute/interface.py:1149`).  Forward-only for now.
     """
     _check_dropout(dropout_p)
     del deterministic  # always deterministic on TPU
@@ -145,8 +149,9 @@ def flash_attn_func(
     vt = jnp.swapaxes(v, 1, 2)
     seqused_q = jnp.full((b,), sq, jnp.int32)
     seqused_k = jnp.full((b,), sk, jnp.int32)
-    if _is_fp8(q):
-        # Forward-only (the reference FP8 kernel has no backward either).
+    if _is_fp8(q) or sinks is not None:
+        # Forward-only paths (the reference FP8 kernel has no backward
+        # either; sink gradients not wired yet).
         from flash_attn_tpu.kernels.flash_fwd import flash_attn_fwd_bhsd
 
         o, lse = flash_attn_fwd_bhsd(
@@ -155,6 +160,7 @@ def flash_attn_func(
             window_size=window_size, softcap=softcap,
             alibi_slopes=alibi_slopes,
             q_descale=q_descale, k_descale=k_descale, v_descale=v_descale,
+            sinks=sinks,
         )
         lse = lse if return_attn_probs else None
     else:

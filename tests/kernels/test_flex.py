@@ -217,3 +217,44 @@ def test_create_block_mask_structure():
     # bwd direction: kv block j is partial for q block j, full for > j
     assert list(np.asarray(bm.q_num)[0, 0]) == [1, 1, 1, 1]
     assert list(np.asarray(bm.full_q_num)[0, 0]) == [3, 2, 1, 0]
+
+
+def test_blocksparse_module():
+    """FA1-style blocksparse API (`flash_blocksparse_attention.py:197`)."""
+    from flash_attn_tpu.blocksparse import (
+        FlashBlocksparseAttention,
+        flash_blocksparse_attn_func,
+    )
+
+    b, s, h, d = 2, 512, 4, 64
+    rng = np.random.default_rng(4)
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3, h, d)), jnp.bfloat16)
+    nb = s // 128
+    # strided + local block layout
+    bmask = np.zeros((nb, nb), bool)
+    for i in range(nb):
+        bmask[i, max(0, i - 1):i + 1] = True   # local
+        bmask[i, 0] = True                     # global first block
+    bmask_j = jnp.asarray(bmask)
+
+    for causal in (False, True):
+        out = flash_blocksparse_attn_func(
+            qkv, bmask_j, causal=causal, block_q=128, block_k=128
+        )
+        # dense reference with the block mask expanded elementwise
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        elem = np.kron(bmask, np.ones((128, 128), bool))
+        if causal:
+            elem &= np.tril(np.ones((s, s), bool))
+        bias = jnp.where(jnp.asarray(elem), 0.0, -jnp.inf)
+        out_ref, _ = attention_ref(q, k, v, attn_bias=bias)
+        out_pt, _ = attention_ref(q, k, v, attn_bias=bias, upcast=False,
+                                  reorder_ops=True)
+        check_close(out, out_ref, out_pt)
+
+    mod = FlashBlocksparseAttention(blockmask=bmask_j, block_q=128,
+                                    block_k=128)
+    out2 = mod(qkv, causal=True)
+    out1 = flash_blocksparse_attn_func(qkv, bmask_j, causal=True,
+                                       block_q=128, block_k=128)
+    assert jnp.array_equal(out1, out2)
