@@ -1,0 +1,75 @@
+"""Flex-attention benchmark: mask mods + block sparsity.
+
+TPU counterpart of `benchmarks/cute/benchmark_mask_mod.py` and
+`benchmark_block_sparsity.py`: measures the flex kernel with common mask
+mods, dense vs block-sparse, and the built-in causal kernel as the ceiling.
+
+Run: python benchmarks/benchmark_mask_mod.py [--quick]
+"""
+
+import argparse
+import functools
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    import flash_attn_tpu as fa
+    from flash_attn_tpu.kernels.flex import create_block_mask, flex_attention
+    from flash_attn_tpu.utils.benchmark import (
+        attention_flops,
+        benchmark_attention_fwd,
+    )
+
+    b, h, d = 1, 16, 128
+    s = 4096 if args.quick else 8192
+    bq = bk = 512
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+
+    def causal(b_, h_, qi, ki):
+        return qi >= ki
+
+    def sliding(b_, h_, qi, ki, w=1024):
+        return (qi >= ki) & (qi - ki <= w)
+
+    def prefix_lm(b_, h_, qi, ki, prefix=s // 4):
+        return (qi >= ki) | (ki < prefix)
+
+    fl_causal = attention_flops(b, s, s, h, d, True, "fwd")
+    cases = [
+        ("builtin causal (ceiling)",
+         functools.partial(fa.flash_attn_func, causal=True), fl_causal),
+        ("flex causal dense", functools.partial(
+            flex_attention, mask_mod=causal, block_q=bq, block_k=bk),
+         fl_causal),
+    ]
+    for name, mm in [("causal", causal), ("sliding1k", sliding),
+                     ("prefix_lm", prefix_lm)]:
+        bm = create_block_mask(mm, b, h, s, s, block_q=bq, block_k=bk)
+        fl = attention_flops(b, s, s, h, d, False, "fwd") * bm.sparsity
+        cases.append((f"flex {name} sparse (density {bm.sparsity:.2f})",
+                      functools.partial(flex_attention, mask_mod=mm,
+                                        block_mask=bm), fl))
+
+    for name, fn, fl in cases:
+        dt = benchmark_attention_fwd(fn, q, k, v, iters=8, reps=3)
+        print(f"{name:44s}: {fl/dt/1e12:7.1f} TF/s  ({dt*1e3:.2f} ms)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
