@@ -1,0 +1,104 @@
+"""Standalone C++ harness tests: build, selftest, kernel-IO consistency
+check, and ctypes-oracle parity with the Python oracle (the roles of the
+reference `standalone/src/test_*.cpp` scenario binaries)."""
+
+import subprocess
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attn_tpu import flash_attn_func
+from flash_attn_tpu.utils.standalone_io import (
+    STANDALONE_DIR,
+    build_standalone,
+    dump_attention_case,
+    ref_attention_cpp,
+)
+from flash_attn_tpu.utils.testing import attention_ref
+
+
+@pytest.fixture(scope="module")
+def binary():
+    return build_standalone()
+
+
+def test_selftest(binary):
+    r = subprocess.run([binary, "selftest"], capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "SELFTEST PASS" in r.stdout
+
+
+def test_cpp_oracle_matches_python_oracle():
+    b, h, hk, sq, sk, d = 2, 4, 2, 65, 97, 32
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((b, sq, h, d)).astype(np.float32)
+    k = rng.standard_normal((b, sk, hk, d)).astype(np.float32)
+    v = rng.standard_normal((b, sk, hk, d)).astype(np.float32)
+    slopes = rng.random((b, h)).astype(np.float32) * 0.2
+    for causal, window, softcap, alibi in [
+        (False, (-1, -1), 0.0, None),
+        (True, (-1, -1), 0.0, None),
+        (True, (16, 0), 0.0, None),
+        (False, (-1, -1), 20.0, None),
+        (True, (-1, -1), 0.0, slopes),
+    ]:
+        o_cpp, lse_cpp = ref_attention_cpp(
+            q, k, v, softmax_scale=d ** -0.5, causal=causal,
+            window_size=window, softcap=softcap, alibi_slopes=alibi,
+        )
+        bias = None
+        if alibi is not None:
+            from flash_attn_tpu.utils.testing import attn_bias_from_alibi_slopes
+            bias = attn_bias_from_alibi_slopes(
+                jnp.asarray(alibi), sq, sk, causal=causal)
+        o_py, _ = attention_ref(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=causal,
+            window_size=window, softcap=softcap, attn_bias=bias,
+        )
+        err = float(np.abs(o_cpp - np.asarray(o_py)).max())
+        assert err < 2e-5, (causal, window, softcap, err)
+
+
+def test_kernel_dump_check(binary, tmp_path):
+    """Dump real Pallas kernel IO, have the C++ harness re-verify it; then
+    corrupt the output and require the check to fail (two-build diff role)."""
+    b, h, sq, sk, d = 2, 4, 128, 192, 64
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, sk, h, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, sk, h, d)), jnp.bfloat16)
+    out, lse, _ = flash_attn_func(q, k, v, causal=True,
+                                  return_attn_probs=True)
+    path = str(tmp_path / "case.bin")
+    dump_attention_case(
+        path,
+        np.asarray(q, np.float32), np.asarray(k, np.float32),
+        np.asarray(v, np.float32), np.asarray(out, np.float32),
+        np.asarray(lse, np.float32),
+        softmax_scale=d ** -0.5, causal=True,
+    )
+    r = subprocess.run([binary, "check", path, "3e-2"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "CHECK PASS" in r.stdout
+
+    # corrupted output must fail
+    bad = np.asarray(out, np.float32)
+    bad[0, 5, 2, :] += 1.0
+    path2 = str(tmp_path / "bad.bin")
+    dump_attention_case(
+        path2, np.asarray(q, np.float32), np.asarray(k, np.float32),
+        np.asarray(v, np.float32), bad, np.asarray(lse, np.float32),
+        softmax_scale=d ** -0.5, causal=True,
+    )
+    r = subprocess.run([binary, "check", path2, "3e-2"],
+                       capture_output=True, text=True)
+    assert r.returncode == 1
+    assert "CHECK FAIL" in r.stdout
+
+    # diff tooling
+    r = subprocess.run([binary, "diff", path, path2],
+                       capture_output=True, text=True)
+    assert r.returncode == 0
+    assert "max|o_a - o_b|" in r.stdout
