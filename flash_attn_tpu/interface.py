@@ -364,3 +364,82 @@ def flash_attn_with_kvcache(*args, **kwargs):
     from flash_attn_tpu.kernels.flash_decode import flash_attn_with_kvcache as f
 
     return f(*args, **kwargs)
+
+
+def flash_attn_combine(out_partial, lse_partial, out=None, out_dtype=None):
+    """Combine split-attention partials (`hopper/flash_attn_interface.py:636`).
+
+    out_partial: (num_splits, b, s, h, d) per-split normalised outputs;
+    lse_partial: (num_splits, b, h, s) natural-log LSEs (+inf = empty).
+    Returns (out (b, s, h, d), lse (b, h, s)).  `out` is accepted for
+    signature parity but ignored (JAX is functional).
+    """
+    from flash_attn_tpu.kernels.combine import combine_attn_partials
+
+    del out
+    op = jnp.swapaxes(jnp.asarray(out_partial), 2, 3)  # -> (ns, b, h, s, d)
+    o, lse = combine_attn_partials(op, jnp.asarray(lse_partial), axis=0)
+    o = jnp.swapaxes(o, 1, 2)  # -> (b, s, h, d)
+    if out_dtype is not None:
+        o = o.astype(out_dtype)
+    return o, lse
+
+
+def get_scheduler_metadata(
+    batch_size,
+    max_seqlen_q,
+    max_seqlen_k,
+    num_heads_q,
+    num_heads_kv,
+    headdim,
+    cache_seqlens=None,
+    qkv_dtype=jnp.bfloat16,
+    headdim_v=None,
+    cu_seqlens_q=None,
+    cu_seqlens_k_new=None,
+    cache_leftpad=None,
+    page_size=None,
+    max_seqlen_k_new=0,
+    causal=False,
+    window_size=(-1, -1),
+    attention_chunk=0,
+    has_softcap=False,
+    num_splits=0,
+    pack_gqa=None,
+    sm_margin=0,
+):
+    """Decode-scheduling metadata (`hopper/flash_attn_interface.py:803`).
+
+    The reference computes per-batch split counts on-device for its
+    persistent-kernel scheduler; the TPU analogue is the host-side split/
+    pack heuristic that shapes the Pallas decode grid.  Returns a dict you
+    can pass to tune `flash_attn_with_kvcache` (`num_splits`) or inspect.
+    """
+    from flash_attn_tpu.kernels.block_sizes import fwd_block_sizes
+
+    if headdim_v is None:
+        headdim_v = headdim
+    g = num_heads_q // max(num_heads_kv, 1)
+    # pack GQA q-heads into the M dimension when the q tile would otherwise
+    # be mostly padding (reference heuristics.h:9 should_pack_gqa)
+    if pack_gqa is None:
+        pack_gqa = max_seqlen_q * g <= 512 and g > 1
+    bs = fwd_block_sizes(max(max_seqlen_q, 1), max_seqlen_k, headdim,
+                         boundary_heavy=causal)
+    if num_splits <= 0:
+        # TPU split heuristic: one split per ~4k cached tokens once the
+        # (batch x kv-head) grid alone cannot fill the core pipeline
+        # (role of num_splits_heuristic, csrc/flash_attn/flash_api.cpp:263)
+        parallelism = batch_size * num_heads_kv
+        if parallelism >= 8 or max_seqlen_k <= 4096:
+            num_splits = 1
+        else:
+            num_splits = min(8, max(1, max_seqlen_k // 4096))
+    return dict(
+        num_splits=int(num_splits),
+        pack_gqa=bool(pack_gqa),
+        block_q=bs.block_q,
+        block_k=bs.block_k,
+        block_k_sub=bs.block_k_sub,
+        page_size=page_size,
+    )

@@ -242,6 +242,103 @@ def sample_speculative(logits, logits_draft, tokens_draft, rng,
     return out, num_accepted
 
 
+def decode_speculative(
+    input_ids,
+    apply_fn: Callable,
+    params,
+    apply_fn_draft: Callable,
+    params_draft,
+    max_length: int,
+    *,
+    speculative_lookahead: int = 3,
+    top_k: int = 1,
+    top_p: float = 0.0,
+    temperature: float = 1.0,
+    rng=None,
+    max_seqlen: Optional[int] = None,
+):
+    """Speculative decoding with a draft model (`generation.py:269`).
+
+    Batch size 1 (reference `decode_speculative` restriction).  The draft
+    model proposes `speculative_lookahead` tokens autoregressively; the
+    target model scores them in one forward; `sample_speculative` keeps the
+    accepted prefix plus one corrected/bonus token.  Both models keep KV
+    caches whose lengths are rewound to the committed prefix after each
+    round — rejected rows are simply overwritten later (functional caches,
+    no copy).
+    """
+    input_ids = jnp.asarray(input_ids, jnp.int32)
+    b, prompt_len = input_ids.shape
+    assert b == 1, "speculative decoding supports batch_size=1 (reference)"
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    smax = max_seqlen or (max_length + speculative_lookahead + 1)
+
+    def fresh_cache():
+        return allocate_inference_cache(b, smax, b)
+
+    def run(fn, prms, ip, toks, length):
+        ip = ip.replace(lengths_per_sample=jnp.full((b,), length, jnp.int32))
+        out = fn(prms, toks, ip)
+        return out.logits.astype(jnp.float32), out.inference_params
+
+    # prefill both models on the prompt
+    ip_m = ip_d = None
+    logits_m, ip_m = run(apply_fn, params, fresh_cache(), input_ids, 0)
+    _, ip_d = run(apply_fn_draft, params_draft, fresh_cache(), input_ids, 0)
+    rng, sub = jax.random.split(rng)
+    pending = sample(logits_m[:, -1], sub, top_k, top_p, 0.0, temperature)
+    committed = [int(pending[0])]
+    fed_m = fed_d = prompt_len  # tokens each cache has absorbed
+
+    while prompt_len + len(committed) < max_length:
+        n = min(speculative_lookahead,
+                max_length - prompt_len - len(committed))
+        # --- draft proposes n tokens (feeding any not-yet-fed committed) ---
+        to_feed = committed[fed_d - prompt_len:]  # unfed committed tokens
+        draft_tokens = []
+        draft_logits = []
+        cur = jnp.asarray([to_feed], jnp.int32)
+        for i in range(n):
+            lg, ip_d = run(apply_fn_draft, params_draft, ip_d, cur, fed_d)
+            fed_d += cur.shape[1]
+            rng, sub = jax.random.split(rng)
+            t = sample(lg[:, -1], sub, top_k, top_p, 0.0, temperature)
+            draft_tokens.append(t)
+            draft_logits.append(lg[:, -1])
+            cur = t[:, None]
+        tokens_draft = jnp.stack(draft_tokens, axis=1)  # (1, n)
+        logits_draft = jnp.stack(draft_logits, axis=1)  # (1, n, v)
+
+        # --- target scores [unfed committed ... + drafts] in one forward ---
+        to_feed_m = committed[fed_m - prompt_len:]
+        main_in = jnp.concatenate(
+            [jnp.asarray([to_feed_m], jnp.int32), tokens_draft], axis=1
+        )
+        lg_m, ip_m = run(apply_fn, params, ip_m, main_in, fed_m)
+        fed_m += main_in.shape[1]
+        logits_m = lg_m[:, -(n + 1):]
+
+        rng, sub = jax.random.split(rng)
+        out, num_acc = sample_speculative(
+            logits_m, logits_draft, tokens_draft, sub,
+            top_k=top_k, top_p=top_p, temperature=temperature,
+        )
+        na = int(num_acc[0])
+        new_toks = [int(t) for t in np.asarray(out[0, :na + 1])]
+        committed.extend(new_toks)
+        # rewind caches to the committed prefix (rows past it are stale and
+        # will be overwritten by the next rounds' writes)
+        fed_m = min(fed_m, prompt_len + len(committed) - 1)
+        fed_d = min(fed_d, prompt_len + len(committed) - 1)
+
+    seq = jnp.concatenate(
+        [input_ids,
+         jnp.asarray([committed[:max_length - prompt_len]], jnp.int32)],
+        axis=1,
+    )
+    return GenerationOutput(sequences=seq)
+
+
 class GenerationMixin:
     """`generation.py:566` — adds .generate to a model wrapper that holds
     (module, params)."""

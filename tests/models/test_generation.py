@@ -78,3 +78,36 @@ def test_sample_speculative_greedy():
         )
         # the correction token is the target argmax at the first mismatch
         assert toks[i, na] == tgt[i, na]
+
+
+def test_speculative_decode_greedy_matches_plain():
+    """Greedy speculative decoding is lossless: with any draft model the
+    committed sequence must equal plain greedy decode of the target
+    (reference `test_gpt_generation` speculative cases)."""
+    from flash_attn_tpu.utils.generation import decode_speculative
+
+    model, params, ids = make_model()
+    # draft = same architecture, different (worse) weights
+    from transformers import GPT2Config
+
+    cfg = GPT2Config(
+        n_embd=64, n_head=2, n_layer=1, vocab_size=311, n_positions=256,
+        resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+    )
+    from flash_attn_tpu.models.gpt import GPTLMHeadModel
+
+    draft = GPTLMHeadModel(cfg, dtype=jnp.float32)
+    params_d = draft.init(jax.random.PRNGKey(7), ids[:1])
+
+    apply_m = lambda p, x, ip: model.apply(p, x, inference_params=ip)
+    apply_d = lambda p, x, ip: draft.apply(p, x, inference_params=ip)
+
+    prompt = ids[:1]
+    ref = decode(prompt, apply_m, params, max_length=36, jit=False)
+    out = decode_speculative(
+        prompt, apply_m, params, apply_d, params_d, max_length=36,
+        speculative_lookahead=3,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.sequences), np.asarray(ref.sequences)
+    )
