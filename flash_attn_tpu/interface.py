@@ -14,8 +14,10 @@ head_dim); varlen inputs are (total_tokens, nheads, head_dim) with
 Notes vs the reference:
 * `deterministic` is accepted and ignored — the TPU backward is always
   deterministic (no atomics; see `kernels/flash_bwd.py`).
-* dropout is supported via an explicit `dropout_seed` (JAX has no global RNG
-  state); `dropout_p > 0` currently routes through the reference-math path.
+* attention dropout runs inside the kernels via a counter-based keep-mask
+  hashed from absolute positions (`kernels/flash_fwd.py` dropout_keep, the
+  Philox role of `csrc/flash_attn/src/dropout.h`); pass an explicit
+  `dropout_seed` (JAX has no global RNG state).
 """
 
 from __future__ import annotations
@@ -41,7 +43,8 @@ __all__ = [
 
 
 @functools.lru_cache(maxsize=None)
-def _make_core(scale, causal, window, softcap, has_alibi, block_q, block_k):
+def _make_core(scale, causal, window, softcap, has_alibi, block_q, block_k,
+               dropout_p):
     """Build a custom_vjp-wrapped core for one static config.
 
     The cache plays the role of the reference's per-config kernel dispatch
@@ -54,28 +57,32 @@ def _make_core(scale, causal, window, softcap, has_alibi, block_q, block_k):
         softcap=softcap,
         block_q=block_q,
         block_k=block_k,
+        dropout_p=dropout_p,
     )
 
     @jax.custom_vjp
-    def core(q, k, v, slopes, seqused_q, seqused_k):
+    def core(q, k, v, slopes, seqused_q, seqused_k, dropout_seed):
         return flash_attn_fwd_bhsd(
-            q, k, v, seqused_q, seqused_k, alibi_slopes=slopes, **kw
+            q, k, v, seqused_q, seqused_k, alibi_slopes=slopes,
+            dropout_seed=dropout_seed, **kw
         )
 
-    def core_fwd(q, k, v, slopes, seqused_q, seqused_k):
+    def core_fwd(q, k, v, slopes, seqused_q, seqused_k, dropout_seed):
         o, lse = flash_attn_fwd_bhsd(
-            q, k, v, seqused_q, seqused_k, alibi_slopes=slopes, **kw
+            q, k, v, seqused_q, seqused_k, alibi_slopes=slopes,
+            dropout_seed=dropout_seed, **kw
         )
-        return (o, lse), (q, k, v, o, lse, slopes, seqused_q, seqused_k)
+        return (o, lse), (q, k, v, o, lse, slopes, seqused_q, seqused_k,
+                          dropout_seed)
 
     def core_bwd(res, cts):
         do, dlse = cts
-        q, k, v, o, lse, slopes, seqused_q, seqused_k = res
+        q, k, v, o, lse, slopes, seqused_q, seqused_k, dropout_seed = res
         dq, dk, dv = flash_attn_bwd_bhsd(
             do, q, k, v, o, lse, seqused_q, seqused_k, alibi_slopes=slopes,
-            dlse=dlse, **kw
+            dlse=dlse, dropout_seed=dropout_seed, **kw
         )
-        return dq, dk, dv, None, None, None
+        return dq, dk, dv, None, None, None, None
 
     core.defvjp(core_fwd, core_bwd)
     return core
@@ -84,23 +91,26 @@ def _make_core(scale, causal, window, softcap, has_alibi, block_q, block_k):
 def _attn_bhsd(
     q, k, v, *, softmax_scale, causal, window_size, softcap, alibi_slopes,
     seqused_q, seqused_k, block_q=None, block_k=None, return_lse=False,
+    dropout_p=0.0, dropout_seed=None,
 ):
+    if dropout_p > 0.0 and block_q is None:
+        # shared fwd/bwd tiling is not required (the keep mask hashes
+        # absolute positions) but a moderate tile keeps the extra VPU hash
+        # work overlapped
+        block_q, block_k = 1024, 1024
     core = _make_core(
         float(softmax_scale), bool(causal),
         (int(window_size[0]), int(window_size[1])), float(softcap),
-        alibi_slopes is not None, block_q, block_k,
+        alibi_slopes is not None, block_q, block_k, float(dropout_p),
     )
-    o, lse = core(q, k, v, alibi_slopes, seqused_q, seqused_k)
+    seed = jnp.asarray(0 if dropout_seed is None else dropout_seed, jnp.int32)
+    o, lse = core(q, k, v, alibi_slopes, seqused_q, seqused_k, seed)
     return o, (lse if return_lse else None)
 
 
 def _check_dropout(dropout_p):
-    if dropout_p != 0.0:
-        raise NotImplementedError(
-            "dropout inside the Pallas kernel is not implemented yet; "
-            "use dropout_p=0.0 (attention dropout is off in inference and "
-            "most modern training recipes)."
-        )
+    if not 0.0 <= dropout_p < 1.0:
+        raise ValueError(f"dropout_p must be in [0, 1), got {dropout_p}")
 
 
 def _is_fp8(x):
@@ -123,6 +133,7 @@ def flash_attn_func(
     k_descale=None,
     v_descale=None,
     sinks=None,
+    dropout_seed=None,
 ):
     """Multi-head attention, (b, s, h, d) layout (`flash_attn_func:1145`).
 
@@ -170,6 +181,7 @@ def flash_attn_func(
             alibi_slopes=alibi_slopes,
             seqused_q=seqused_q, seqused_k=seqused_k,
             return_lse=return_attn_probs,
+            dropout_p=dropout_p, dropout_seed=dropout_seed,
         )
     o = jnp.swapaxes(o, 1, 2)
     if return_attn_probs:

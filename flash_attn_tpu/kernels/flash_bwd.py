@@ -42,6 +42,7 @@ from flash_attn_tpu.kernels.flash_fwd import (
     MASK_VALUE,
     FwdParams,
     _kv_block_bounds,
+    dropout_keep,
 )
 
 # Row-statistics (LSE, delta) are carried with a small replicated lane dim so
@@ -60,6 +61,7 @@ class BwdParams:
     g: int
     block_q: int
     block_k: int
+    dropout_p: float = 0.0
 
     @property
     def wr(self) -> int:
@@ -89,13 +91,12 @@ class BwdParams:
 
 
 def _bwd_dq_kernel(p: BwdParams, sq_ref, sk_ref, *refs):
-    if p.has_alibi:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, slopes_ref,
-         dq_ref, dq_acc) = refs
-    else:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-         dq_ref, dq_acc) = refs
-        slopes_ref = None
+    refs = list(refs)
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = refs[:6]
+    refs = refs[6:]
+    slopes_ref = refs.pop(0) if p.has_alibi else None
+    seed_ref = refs.pop(0) if p.dropout_p > 0.0 else None
+    dq_ref, dq_acc = refs
 
     b = pl.program_id(0)
     hq = pl.program_id(1)
@@ -149,6 +150,9 @@ def _bwd_dq_kernel(p: BwdParams, sq_ref, sk_ref, *refs):
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if p.dropout_p > 0.0:
+            keep = dropout_keep(seed_ref[0], b, hq, rows, cols, p.dropout_p)
+            dp = jnp.where(keep, dp, 0.0) * (1.0 / (1.0 - p.dropout_p))
         ds = pmat * (dp - delta_row)
         if p.softcap > 0.0:
             ds = ds * (1.0 - (s_cap / p.softcap) ** 2)
@@ -182,13 +186,12 @@ def _q_block_bounds(p: BwdParams, ki, sq_b, sk_b):
 
 
 def _bwd_dkv_kernel(p: BwdParams, sq_ref, sk_ref, *refs):
-    if p.has_alibi:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, slopes_ref,
-         dk_ref, dv_ref, dk_acc, dv_acc) = refs
-    else:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-         dk_ref, dv_ref, dk_acc, dv_acc) = refs
-        slopes_ref = None
+    refs = list(refs)
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = refs[:6]
+    refs = refs[6:]
+    slopes_ref = refs.pop(0) if p.has_alibi else None
+    seed_ref = refs.pop(0) if p.dropout_p > 0.0 else None
+    dk_ref, dv_ref, dk_acc, dv_acc = refs
 
     b = pl.program_id(0)
     hk_i = pl.program_id(1)
@@ -243,14 +246,22 @@ def _bwd_dkv_kernel(p: BwdParams, sq_ref, sk_ref, *refs):
         s = jnp.where(mask, MASK_VALUE, s)
 
         pmat = jnp.exp2((s - lse_row) * LOG2E)
-        # dV += P^T dO
+        pd = pmat
+        if p.dropout_p > 0.0:
+            keep = dropout_keep(seed_ref[0], b, hk_i * p.g + t % p.g,
+                                rows, cols, p.dropout_p)
+            rp = 1.0 / (1.0 - p.dropout_p)
+            pd = jnp.where(keep, pmat, 0.0) * rp
+        # dV += Pd^T dO
         dv_acc[...] += jax.lax.dot_general(
-            pmat.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if p.dropout_p > 0.0:
+            dp = jnp.where(keep, dp, 0.0) * rp
         ds = pmat * (dp - delta_row)
         if p.softcap > 0.0:
             ds = ds * (1.0 - (s_cap / p.softcap) ** 2)
@@ -282,6 +293,8 @@ def flash_attn_bwd_bhsd(
     window_size=(-1, -1),
     softcap: float = 0.0,
     alibi_slopes=None,
+    dropout_p: float = 0.0,
+    dropout_seed=None,
     block_q: int | None = None,
     block_k: int | None = None,
     dlse=None,
@@ -342,7 +355,11 @@ def flash_attn_bwd_bhsd(
         g=g,
         block_q=bq,
         block_k=bk,
+        dropout_p=float(dropout_p),
     )
+    seed = jnp.asarray(
+        0 if dropout_seed is None else dropout_seed, jnp.int32
+    ).reshape(1)
 
     slopes = None
     if alibi_slopes is not None:
@@ -379,6 +396,9 @@ def flash_attn_bwd_bhsd(
         # blocks to cover the full array).
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(slopes)
+    if dropout_p > 0.0:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(seed)
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, p),
@@ -421,6 +441,9 @@ def flash_attn_bwd_bhsd(
     if slopes is not None:
         in_specs2.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs2.append(slopes)
+    if dropout_p > 0.0:
+        in_specs2.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs2.append(seed)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, p),

@@ -42,6 +42,41 @@ LOG2E = math.log2(math.e)
 MASK_VALUE = -1e30
 LANES = 128
 
+# int32 views of the 32-bit hash constants (lowbias32 mixer)
+def _i32(x):
+    import numpy as np
+
+    return np.int32(np.uint32(x).view(np.int32))
+
+
+_H1, _H2 = _i32(0x7FEB352D), _i32(0x846CA68B)
+_C1, _C2, _C3, _C4 = _i32(0x9E3779B1), _i32(0x85EBCA77), _i32(0xC2B2AE3D), _i32(0x27D4EB2F)
+
+
+def _mix32(x):
+    sr = jax.lax.shift_right_logical
+    x = x ^ sr(x, 16)
+    x = x * _H1
+    x = x ^ sr(x, 15)
+    x = x * _H2
+    x = x ^ sr(x, 16)
+    return x
+
+
+def dropout_keep(seed, b, h, rows, cols, dropout_p):
+    """Counter-based dropout keep mask from *absolute* positions.
+
+    Pure-jnp stateless hash (the Philox role of
+    `csrc/flash_attn/src/dropout.h`): the mask depends only on
+    (seed, batch, head, row, col), so forward and both backward kernels
+    reproduce it exactly regardless of their tile shapes, and interpret
+    mode matches hardware bit-for-bit.
+    """
+    base = seed ^ (b * _C1) ^ (h * _C2)
+    x = _mix32(rows * _C3 + cols * _C4 + base)
+    u = (x & jnp.int32(0xFFFFFF)).astype(jnp.float32) * (2.0 ** -24)
+    return u >= dropout_p
+
 
 @dataclasses.dataclass(frozen=True)
 class FwdParams:
@@ -64,6 +99,10 @@ class FwdParams:
     # Learnable per-head attention sink: a virtual logit that joins the
     # softmax denominator only (reference `cute/interface.py:1149`).
     has_sinks: bool = False
+    # Attention dropout on the post-softmax probabilities (reference
+    # semantics: P dropped and scaled by 1/(1-p); the softmax denominator
+    # and LSE stay undropped).
+    dropout_p: float = 0.0
 
     @property
     def local(self) -> bool:
@@ -120,6 +159,7 @@ def _fwd_kernel(p: FwdParams, sq_ref, sk_ref, *refs):
     else:
         qd_ref = kd_ref = vd_ref = None
     sinks_ref = refs.pop(0) if p.has_sinks else None
+    seed_ref = refs.pop(0) if p.dropout_p > 0.0 else None
     o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
 
     b = pl.program_id(0)
@@ -178,7 +218,7 @@ def _fwd_kernel(p: FwdParams, sq_ref, sk_ref, *refs):
             s = s * p.scale
             if p.softcap > 0.0:
                 s = jnp.tanh(s / p.softcap) * p.softcap
-        if masked or p.has_alibi:
+        if masked or p.has_alibi or p.dropout_p > 0.0:
             rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bks), 0)
             cols = kgj * bks + jax.lax.broadcasted_iota(jnp.int32, (bq, bks), 1)
         if p.has_alibi:
@@ -208,6 +248,9 @@ def _fwd_kernel(p: FwdParams, sq_ref, sk_ref, *refs):
         m_ref[...] = jnp.broadcast_to(m_curr, m_ref.shape)
         l_ref[...] = jnp.broadcast_to(l_curr, l_ref.shape)
 
+        if p.dropout_p > 0.0:
+            keep_d = dropout_keep(seed_ref[0], b, hq, rows, cols, p.dropout_p)
+            pmat = jnp.where(keep_d, pmat, 0.0) * (1.0 / (1.0 - p.dropout_p))
         pv = jax.lax.dot_general(
             pmat.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -287,6 +330,8 @@ def flash_attn_fwd_bhsd(
     k_descale=None,
     v_descale=None,
     sinks=None,
+    dropout_p: float = 0.0,
+    dropout_seed=None,
     block_q: int | None = None,
     block_k: int | None = None,
     block_k_sub: int | None = None,
@@ -346,6 +391,7 @@ def flash_attn_fwd_bhsd(
         block_k_sub=bks,
         fp8=bool(fp8),
         has_sinks=sinks is not None,
+        dropout_p=float(dropout_p),
     )
 
     if not (p.softcap > 0.0 or p.has_alibi) and not fp8:
@@ -395,6 +441,12 @@ def flash_attn_fwd_bhsd(
     if sinks is not None:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(jnp.asarray(sinks, jnp.float32).reshape(h))
+    if dropout_p > 0.0:
+        seed = jnp.asarray(
+            0 if dropout_seed is None else dropout_seed, jnp.int32
+        ).reshape(1)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(seed)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -407,3 +407,71 @@ def test_flash_attn_sinks():
         lse_ref = jax.nn.logsumexp(sc_aug, axis=-1)
         assert float(jnp.abs(o.astype(jnp.float32) - o_ref).max()) < 2e-2
         assert float(jnp.abs(lse - lse_ref).max()) < 5e-3
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attn_dropout(causal):
+    """Kernel dropout must equal a dense reference using the *same*
+    counter-based keep mask — exact, not statistical (reference pattern:
+    `tests/test_flash_attn.py` extracts S_dmask and rebuilds the mask)."""
+    from flash_attn_tpu.kernels.flash_fwd import dropout_keep
+
+    b, h, sq, sk, d = 2, 3, 192, 224, 64
+    p_drop, seed = 0.3, 1234
+    q, k, v = make_qkv(b, sq, sk, h, h, d, jnp.bfloat16, seed=9)
+
+    out = flash_attn_func(q, k, v, dropout_p=p_drop, causal=causal,
+                          dropout_seed=seed)
+
+    # rebuild the exact keep mask
+    rows = jnp.arange(sq, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(sk, dtype=jnp.int32)[None, :]
+    keep = jnp.stack([
+        jnp.stack([
+            dropout_keep(jnp.int32(seed), jnp.int32(b_), jnp.int32(h_),
+                         rows, cols, p_drop)
+            for h_ in range(h)
+        ])
+        for b_ in range(b)
+    ])  # (b, h, sq, sk)
+
+    def dense(q, k, v, dtype):
+        qf, kf, vf = (x.astype(dtype) for x in (q, k, v))
+        s = jnp.einsum("bqhd,bkhd->bhqk", qf, kf) * (d ** -0.5)
+        if causal:
+            m = (cols - (sk - sq)) <= rows
+            s = jnp.where(m, s, -jnp.inf)
+        pm = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+        pd = jnp.where(keep, pm, 0.0) / (1.0 - p_drop)
+        return jnp.einsum("bhqk,bkhd->bqhd", pd.astype(dtype), vf)
+
+    out_ref = dense(q, k, v, jnp.float32)
+    out_pt = dense(q, k, v, jnp.bfloat16)
+    check_close(out, out_ref, out_pt)
+
+    # determinism: same seed -> bitwise equal; different seed -> different
+    out2 = flash_attn_func(q, k, v, dropout_p=p_drop, causal=causal,
+                           dropout_seed=seed)
+    assert jnp.array_equal(out, out2)
+    out3 = flash_attn_func(q, k, v, dropout_p=p_drop, causal=causal,
+                           dropout_seed=seed + 1)
+    assert not jnp.array_equal(out, out3)
+
+    # grads vs the same-mask dense reference
+    g = jnp.asarray(np.random.default_rng(3).standard_normal(out.shape),
+                    out.dtype)
+
+    def lf(q, k, v):
+        o = flash_attn_func(q, k, v, dropout_p=p_drop, causal=causal,
+                            dropout_seed=seed)
+        return jnp.sum(o.astype(jnp.float32) * g.astype(jnp.float32))
+
+    def lr(q, k, v, dtype=jnp.float32):
+        return jnp.sum(dense(q, k, v, dtype).astype(jnp.float32)
+                       * g.astype(jnp.float32))
+
+    df = jax.grad(lf, (0, 1, 2))(q, k, v)
+    dr = jax.grad(lr, (0, 1, 2))(q, k, v)
+    dp_ = jax.grad(lambda q, k, v: lr(q, k, v, jnp.bfloat16), (0, 1, 2))(q, k, v)
+    for a, r, pt in zip(df, dr, dp_):
+        check_close(a, r, pt)
