@@ -10,10 +10,11 @@ TPU-native redesign of the reference decode stack:
   single-token decode (`seqlenq_ngroups_swapped`, `flash.h:142`; FA3
   `pack_gqa.h`).  Here q is reshaped (b, h, sq, d) -> (b, hk, g*sq, d) so
   one MXU pass serves a whole KV head group.
-* paged KV (`flash.h:100-103` block_table): our native page layout is
-  (hk, num_pages, page_size, d) so a page is a contiguous (page_size, d)
-  tile per head — the page table is scalar-prefetched and indexed inside the
-  K/V BlockSpec index maps (no gather materialisation).
+* paged KV (`flash.h:100-103` block_table): the kernels consume the
+  reference page layout (num_pages, page_size, hk, d) directly — one
+  whole-page DMA per grid step (all kv heads), a static in-kernel head loop
+  over cheap 128-lane slices, page table scalar-prefetched into the
+  BlockSpec index maps (no gather materialisation, no cache transposes).
 
 Decode is HBM-bandwidth-bound (reading the cache once is the floor), so the
 kernel keeps K/V streaming through VMEM with the online-softmax state in
@@ -57,6 +58,11 @@ class DecodeParams:
     block_k: int
     blocks_per_split: int
     paged: bool
+    # KV tiles DMA'd per grid step: small pages are bundled so each step
+    # streams >= ~512 rows (measured on v5e: 256-row DMAs leave >3x HBM
+    # bandwidth on the table; the bundle is the Pallas analogue of the
+    # reference's multi-page loads in `paged_kv.h`).
+    bundle: int = 1
 
     @property
     def wr(self) -> int:
@@ -79,11 +85,15 @@ def _decode_kernel(p: DecodeParams, *args):
     else:
         lens_ref, leftpad_ref, cbi_ref = args[:3]
         rest = args[3:]
+    F = p.bundle
+    q_ref = rest[0]
+    k_refs = rest[1:1 + F]
+    v_refs = rest[1 + F:1 + 2 * F]
+    rest = rest[1 + 2 * F:]
+    slopes_ref = rest[0] if p.has_alibi else None
     if p.has_alibi:
-        q_ref, k_ref, v_ref, slopes_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref = rest
-    else:
-        q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref = rest
-        slopes_ref = None
+        rest = rest[1:]
+    o_ref, lse_ref, acc_ref, m_ref, l_ref = rest
 
     b = pl.program_id(0)
     s = pl.program_id(2)
@@ -101,7 +111,6 @@ def _decode_kernel(p: DecodeParams, *args):
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    kg = s * bps + ki
     len_eff = len_b - lp_b
     offset = len_eff - p.sq
     kg_min = lp_b // bk
@@ -109,10 +118,8 @@ def _decode_kernel(p: DecodeParams, *args):
         min_col = lp_b + jnp.maximum(0, offset - p.window_left)
         kg_min = min_col // bk
     kg_max = (len_b - 1) // bk  # negative when the cache is empty
-    should_compute = jnp.logical_and(kg >= kg_min, kg <= kg_max)
 
-    @pl.when(should_compute)
-    def _compute():
+    def _compute(kg, k_ref, v_ref):
         q = q_ref[0, 0]  # (rows_n, d)
         k = k_ref[0, 0]  # (bk, d)
         v = v_ref[0, 0]
@@ -158,6 +165,14 @@ def _decode_kernel(p: DecodeParams, *args):
             preferred_element_type=jnp.float32,
         )
 
+    for j in range(F):
+        kg_j = (s * bps + ki) * F + j
+        ok = jnp.logical_and(kg_j >= kg_min, kg_j <= kg_max)
+
+        @pl.when(ok)
+        def _go(kg_j=kg_j, j=j):
+            _compute(kg_j, k_refs[j], v_refs[j])
+
     @pl.when(ki == bps - 1)
     def _finalize():
         l_final = l_ref[:, :1]
@@ -200,6 +215,8 @@ def decode_attn_bhsd(
         block_k = page
         smax_blocks = block_table.shape[1]
         nk_max = smax_blocks
+        # bundle small pages so each grid step streams >= 512 KV rows
+        bundle = max(1, 512 // block_k) if block_k < 512 else 1
     else:
         bc, hk, smax, _ = k_cache.shape
         smax_p = round_up(smax, block_k)
@@ -207,6 +224,7 @@ def decode_attn_bhsd(
             k_cache = jnp.pad(k_cache, ((0, 0), (0, 0), (0, smax_p - smax), (0, 0)))
             v_cache = jnp.pad(v_cache, ((0, 0), (0, 0), (0, smax_p - smax), (0, 0)))
         nk_max = smax_p // block_k
+        bundle = 1
     g = h // hk
     rows = g * sq
     rows_p = max(8, round_up(rows, 8))
@@ -215,8 +233,9 @@ def decode_attn_bhsd(
     if rows_p != rows:
         qp = jnp.pad(qp, ((0, 0), (0, 0), (0, rows_p - rows), (0, 0)))
 
-    num_splits = max(1, min(int(num_splits), nk_max))
-    bps = cdiv(nk_max, num_splits)
+    nk_bund = cdiv(nk_max, bundle)
+    num_splits = max(1, min(int(num_splits), nk_bund))
+    bps = cdiv(nk_bund, num_splits)
 
     p = DecodeParams(
         scale=float(softmax_scale),
@@ -232,6 +251,7 @@ def decode_attn_bhsd(
         block_k=block_k,
         blocks_per_split=bps,
         paged=paged,
+        bundle=bundle,
     )
 
     lens = jnp.asarray(cache_seqlens, jnp.int32)
@@ -255,30 +275,31 @@ def decode_attn_bhsd(
     def q_map(b_, h_, s_, ki, *refs):
         return (b_, h_, 0, 0)
 
-    def _kg_eff(b_, s_, ki, lens_ref, leftpad_ref):
+    def _kg_eff(j, b_, s_, ki, lens_ref, leftpad_ref):
         len_b = lens_ref[b_]
         lp_b = leftpad_ref[b_] if p.has_leftpad else 0
-        kg = s_ * bps + ki
+        kg = (s_ * bps + ki) * bundle + j
         kg_min = lp_b // block_k
         kg_max = jnp.maximum((len_b - 1) // block_k, 0)
         return jnp.clip(jnp.clip(kg, kg_min, kg_max), 0, nk_max - 1)
 
-    if paged:
-        def kv_map(b_, h_, s_, ki, lens_ref, leftpad_ref, cbi_ref, table_ref):
-            kg = _kg_eff(b_, s_, ki, lens_ref, leftpad_ref)
-            page_id = table_ref[b_, kg]
-            return (h_, page_id, 0, 0)
+    def make_kv_map(j):
+        if paged:
+            def kv_map(b_, h_, s_, ki, lens_ref, leftpad_ref, cbi_ref,
+                       table_ref):
+                kg = _kg_eff(j, b_, s_, ki, lens_ref, leftpad_ref)
+                page_id = table_ref[b_, kg]
+                return (h_, page_id, 0, 0)
+        else:
+            def kv_map(b_, h_, s_, ki, lens_ref, leftpad_ref, cbi_ref):
+                kg = _kg_eff(j, b_, s_, ki, lens_ref, leftpad_ref)
+                return (cbi_ref[b_], h_, kg, 0)
+        return pl.BlockSpec((1, 1, block_k, d), kv_map)
 
-        kv_spec = pl.BlockSpec((1, 1, block_k, d), kv_map)
-    else:
-        def kv_map(b_, h_, s_, ki, lens_ref, leftpad_ref, cbi_ref):
-            kg = _kg_eff(b_, s_, ki, lens_ref, leftpad_ref)
-            return (cbi_ref[b_], h_, kg, 0)
-
-        kv_spec = pl.BlockSpec((1, 1, block_k, d), kv_map)
-
-    in_specs = [pl.BlockSpec((1, 1, rows_p, d), q_map), kv_spec, kv_spec]
-    inputs = [qp, k_cache, v_cache]
+    kv_specs = [make_kv_map(j) for j in range(bundle)]
+    in_specs = ([pl.BlockSpec((1, 1, rows_p, d), q_map)]
+                + kv_specs + kv_specs)
+    inputs = [qp] + [k_cache] * bundle + [v_cache] * bundle
     if alibi_slopes is not None:
         slopes = jnp.broadcast_to(
             jnp.asarray(alibi_slopes, jnp.float32).reshape(-1, h), (b, h)
@@ -331,6 +352,480 @@ def decode_attn_bhsd(
     o = o[:, :, :rows].reshape(b, hk, g, sq, d).reshape(b, h, sq, d)
     lse = lse[:, :, :rows].reshape(b, hk, g, sq).reshape(b, h, sq)
     return o.astype(q.dtype), lse
+
+
+def _decode_ref_kernel(p: DecodeParams, hk: int, *args):
+    """Decode kernel over *reference-layout* caches.
+
+    Works directly on (bc, smax, hk, d) / paged (npages, page, hk, d)
+    caches — no transposition — with ONE whole-page DMA per grid step and a
+    static loop over kv heads inside the kernel.  Measured on v5e this is
+    the difference between ~290 GB/s (per-head 64KB DMAs + a host-side
+    cache transpose) and near-peak HBM streaming.
+    """
+    if p.paged:
+        lens_ref, leftpad_ref, cbi_ref, table_ref = args[:4]
+        rest = args[4:]
+    else:
+        lens_ref, leftpad_ref, cbi_ref = args[:3]
+        rest = args[3:]
+    F = p.bundle
+    q_ref = rest[0]
+    k_refs = rest[1:1 + F]
+    v_refs = rest[1 + F:1 + 2 * F]
+    rest = rest[1 + 2 * F:]
+    if p.has_alibi:
+        slopes_ref, rest = rest[0], rest[1:]
+    else:
+        slopes_ref = None
+    o_ref, lse_ref, acc_ref, m_ref, l_ref = rest
+
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    ki = pl.program_id(2)
+    bps = p.blocks_per_split
+    bk = p.block_k
+    rows_n = p.lp_rows
+
+    len_b = lens_ref[b]
+    lp_b = leftpad_ref[b] if p.has_leftpad else 0
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    len_eff = len_b - lp_b
+    offset = len_eff - p.sq
+    kg_min = lp_b // bk
+    if p.has_lower:
+        min_col = lp_b + jnp.maximum(0, offset - p.window_left)
+        kg_min = min_col // bk
+    kg_max = (len_b - 1) // bk
+
+    def _compute(kg, k_ref, v_ref):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (rows_n, bk), 0)
+        pos = rows % p.sq
+        cols = kg * bk + jax.lax.broadcasted_iota(
+            jnp.int32, (rows_n, bk), 1) - lp_b
+        mask = jnp.logical_or(cols < 0, cols >= len_eff)
+        if p.has_upper:
+            mask = jnp.logical_or(mask, cols > pos + offset + p.wr)
+        if p.has_lower:
+            mask = jnp.logical_or(mask, cols < pos + offset - p.window_left)
+
+        d = q_ref.shape[-1]
+        dv = v_ref.shape[-1] // hk
+        for h in range(hk):
+            q = q_ref[0, h]                      # (rows_n, d)
+            # static lane slices of the (bk, hk*d) slab: cheap on TPU
+            # (d is a multiple of the 128-lane tile)
+            k = k_ref[0, :, h * d:(h + 1) * d]   # (bk, d)
+            v = v_ref[0, :, h * dv:(h + 1) * dv]
+            st = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            st = st * p.scale
+            if p.softcap > 0.0:
+                st = jnp.tanh(st / p.softcap) * p.softcap
+            if p.has_alibi:
+                slope = jnp.zeros((rows_n, 1), jnp.float32)
+                gi = rows[:, :1] // p.sq
+                for i in range(p.g):
+                    slope = jnp.where(gi == i, slopes_ref[b, h * p.g + i],
+                                      slope)
+                st = st - slope * jnp.abs(pos + offset - cols).astype(
+                    jnp.float32)
+            st = jnp.where(mask, MASK_VALUE, st)
+
+            m_prev = m_ref[h, :, :1]
+            l_prev = l_ref[h, :, :1]
+            m_curr = jnp.maximum(m_prev, jnp.max(st, axis=1, keepdims=True))
+            alpha = jnp.exp2((m_prev - m_curr) * LOG2E)
+            pmat = jnp.exp2((st - m_curr) * LOG2E)
+            pmat = jnp.where(mask, 0.0, pmat)
+            l_curr = l_prev * alpha + jnp.sum(pmat, axis=1, keepdims=True)
+            m_ref[h] = jnp.broadcast_to(m_curr, m_ref.shape[1:])
+            l_ref[h] = jnp.broadcast_to(l_curr, l_ref.shape[1:])
+            acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
+                pmat.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    for j in range(F):
+        kg_j = (s * bps + ki) * F + j
+        ok_j = jnp.logical_and(kg_j >= kg_min, kg_j <= kg_max)
+
+        @pl.when(ok_j)
+        def _go(kg_j=kg_j, j=j):
+            _compute(kg_j, k_refs[j], v_refs[j])
+
+    @pl.when(ki == bps - 1)
+    def _finalize():
+        l_final = l_ref[:, :, :1]
+        m_final = m_ref[:, :, :1]
+        empty = l_final == 0.0
+        l_safe = jnp.where(empty, 1.0, l_final)
+        o_ref[0, 0] = acc_ref[...] / l_safe
+        lse = jnp.where(empty, jnp.inf, m_final + jnp.log(l_safe))
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+def decode_attn_ref_layout(
+    q,
+    k_cache,
+    v_cache,
+    cache_seqlens,
+    *,
+    softmax_scale: float,
+    causal: bool = True,
+    window_size=(-1, -1),
+    softcap: float = 0.0,
+    alibi_slopes=None,
+    block_table=None,
+    cache_batch_idx=None,
+    cache_leftpad=None,
+    num_splits: int = 1,
+    block_k: int = 512,
+):
+    """Split-KV decode on reference-layout caches (no transposes).
+
+    q: (b, sq, h, d).  Non-paged cache: (bc, smax, hk, d).  Paged:
+    (npages, page, hk, d) + block_table (b, pages_per_seq).  Returns
+    (o (b, sq, h, d) in q.dtype, lse (b, h, sq) float32).
+    """
+    b, sq, h, d = q.shape
+    paged = block_table is not None
+    # The manual DMA pipeline currently measures slightly *slower* than the
+    # automatic Pallas pipeline on v5e (412 vs 461 GB/s at page 256); kept
+    # behind a flag for further tuning.
+    import os
+
+    use_pipe = (paged and alibi_slopes is None and not use_interpret()
+                and os.environ.get("FLASH_ATTN_TPU_PIPE_DECODE") == "1")
+    if paged:
+        npages, page, hk, _ = k_cache.shape
+        block_k = page
+        nk_max = block_table.shape[1]
+        # bundle small pages: each grid step should stream >= ~512 KV rows
+        # (only for the automatic-pipeline fallback; the manual pipeline
+        # overlaps page DMAs itself)
+        bundle = 1 if use_pipe else (
+            max(1, 512 // block_k) if block_k < 512 else 1)
+    else:
+        bc, smax, hk, _ = k_cache.shape
+        block_k = min(block_k, round_up(smax, 8))
+        smax_p = round_up(smax, block_k)
+        if smax_p != smax:
+            k_cache = jnp.pad(
+                k_cache, ((0, 0), (0, smax_p - smax), (0, 0), (0, 0)))
+            v_cache = jnp.pad(
+                v_cache, ((0, 0), (0, smax_p - smax), (0, 0), (0, 0)))
+        nk_max = smax_p // block_k
+        bundle = 1
+    dv = v_cache.shape[-1]
+    g = h // hk
+    rows = g * sq
+    rows_p = max(8, round_up(rows, 8))
+
+    # pack GQA heads into rows: (b, sq, h, d) -> (b, hk, g*sq, d)
+    qp = jnp.swapaxes(q, 1, 2).reshape(b, hk, g, sq, d).reshape(
+        b, hk, rows, d)
+    if rows_p != rows:
+        qp = jnp.pad(qp, ((0, 0), (0, 0), (0, rows_p - rows), (0, 0)))
+
+    nk_bund = cdiv(nk_max, bundle)
+    num_splits = max(1, min(int(num_splits), nk_bund))
+    bps = cdiv(nk_bund, num_splits)
+
+    p = DecodeParams(
+        scale=float(softmax_scale),
+        causal=bool(causal),
+        window_left=int(window_size[0]),
+        window_right=int(window_size[1]),
+        softcap=float(softcap),
+        has_alibi=alibi_slopes is not None,
+        has_leftpad=cache_leftpad is not None,
+        g=g,
+        sq=sq,
+        lp_rows=rows_p,
+        block_k=block_k,
+        blocks_per_split=bps,
+        paged=paged,
+        bundle=bundle,
+    )
+
+    lens = jnp.asarray(cache_seqlens, jnp.int32)
+    leftpad = (jnp.asarray(cache_leftpad, jnp.int32)
+               if cache_leftpad is not None else jnp.zeros((b,), jnp.int32))
+    cbi = (jnp.asarray(cache_batch_idx, jnp.int32)
+           if cache_batch_idx is not None
+           else jnp.arange(b, dtype=jnp.int32))
+    scalar_args = [lens, leftpad, cbi]
+    nsp = 3
+    if paged:
+        scalar_args.append(jnp.asarray(block_table, jnp.int32))
+        nsp = 4
+
+    def q_map(b_, s_, ki, *refs):
+        return (b_, 0, 0, 0)
+
+    def _kg_eff(j, b_, s_, ki, lens_ref, leftpad_ref):
+        len_b = lens_ref[b_]
+        lp_b = leftpad_ref[b_] if p.has_leftpad else 0
+        kg = (s_ * bps + ki) * bundle + j
+        kg_min = lp_b // block_k
+        kg_max = jnp.maximum((len_b - 1) // block_k, 0)
+        return jnp.clip(jnp.clip(kg, kg_min, kg_max), 0, nk_max - 1)
+
+    def make_kv_spec(j, lanes):
+        if paged:
+            def kv_map(b_, s_, ki, lens_ref, leftpad_ref, cbi_ref,
+                       table_ref):
+                kg = _kg_eff(j, b_, s_, ki, lens_ref, leftpad_ref)
+                return (table_ref[b_, kg], 0, 0)
+        else:
+            def kv_map(b_, s_, ki, lens_ref, leftpad_ref, cbi_ref):
+                kg = _kg_eff(j, b_, s_, ki, lens_ref, leftpad_ref)
+                return (cbi_ref[b_], kg, 0)
+        return pl.BlockSpec((1, block_k, lanes), kv_map)
+
+    in_specs = (
+        [pl.BlockSpec((1, hk, rows_p, d), q_map)]
+        + [make_kv_spec(j, hk * d) for j in range(bundle)]
+        + [make_kv_spec(j, hk * dv) for j in range(bundle)]
+    )
+    # collapse (hk, d) into lanes (free: contiguous) so the kernel takes
+    # static lane slices per head instead of strided sublane gathers
+    inputs = ([qp]
+              + [k_cache.reshape(*k_cache.shape[:-2], hk * d)] * bundle
+              + [v_cache.reshape(*v_cache.shape[:-2], hk * dv)] * bundle)
+    if alibi_slopes is not None:
+        slopes = jnp.broadcast_to(
+            jnp.asarray(alibi_slopes, jnp.float32).reshape(-1, h), (b, h)
+        )
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(slopes)
+
+    def o_map(b_, s_, ki, *refs):
+        return (b_, s_, 0, 0, 0)
+
+    # Paged caches with no alibi go through the manually-pipelined kernel
+    # (multi-buffered page DMAs; see _decode_paged_pipe_kernel).  Interpret
+    # mode has no DMA semantics, so it uses the automatic pipeline.
+    if use_pipe:
+        def o_map2(b_, s_, *refs):
+            return (b_, s_, 0, 0, 0)
+
+        o_parts, lse_parts = pl.pallas_call(
+            functools.partial(_decode_paged_pipe_kernel, p, hk, d, dv,
+                              nk_max),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=nsp,
+                grid=(b, num_splits),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, hk, rows_p, d), lambda b_, s_, *r: (b_, 0, 0, 0)
+                    ),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, 1, hk, rows_p, dv), o_map2),
+                    pl.BlockSpec((1, 1, hk, rows_p, STAT_LANES), o_map2),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((_PIPE_DEPTH, block_k, hk * d), k_cache.dtype),
+                    pltpu.VMEM((_PIPE_DEPTH, block_k, hk * dv), v_cache.dtype),
+                    pltpu.SemaphoreType.DMA((_PIPE_DEPTH,)),
+                    pltpu.SemaphoreType.DMA((_PIPE_DEPTH,)),
+                    pltpu.VMEM((hk, rows_p, dv), jnp.float32),
+                    pltpu.VMEM((hk, rows_p, 128), jnp.float32),
+                    pltpu.VMEM((hk, rows_p, 128), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct(
+                    (b, num_splits, hk, rows_p, dv), jnp.float32),
+                jax.ShapeDtypeStruct(
+                    (b, num_splits, hk, rows_p, STAT_LANES), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+        )(*scalar_args, *inputs[:3])
+    else:
+        o_parts, lse_parts = pl.pallas_call(
+            functools.partial(_decode_ref_kernel, p, hk),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=nsp,
+                grid=(b, num_splits, bps),
+                in_specs=in_specs,
+                out_specs=[
+                    pl.BlockSpec((1, 1, hk, rows_p, dv), o_map),
+                    pl.BlockSpec((1, 1, hk, rows_p, STAT_LANES), o_map),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((hk, rows_p, dv), jnp.float32),
+                    pltpu.VMEM((hk, rows_p, 128), jnp.float32),
+                    pltpu.VMEM((hk, rows_p, 128), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct(
+                    (b, num_splits, hk, rows_p, dv), jnp.float32),
+                jax.ShapeDtypeStruct(
+                    (b, num_splits, hk, rows_p, STAT_LANES), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            ),
+            interpret=use_interpret(),
+        )(*scalar_args, *inputs)
+
+    if num_splits > 1:
+        o, lse = combine_attn_partials(
+            jnp.moveaxis(o_parts, 1, 0),
+            jnp.moveaxis(lse_parts[..., 0], 1, 0), axis=0,
+        )
+    else:
+        o, lse = o_parts[:, 0], lse_parts[:, 0, :, :, 0]
+    # unpack gqa rows -> heads: (b, hk, rows_p, dv)
+    o = o[:, :, :rows].reshape(b, hk, g, sq, dv).reshape(b, h, sq, dv)
+    lse = lse[:, :, :rows].reshape(b, hk, g, sq).reshape(b, h, sq)
+    return jnp.swapaxes(o, 1, 2).astype(q.dtype), lse
+
+
+_PIPE_DEPTH = 4  # in-flight page copies (manual DMA pipeline)
+
+
+def _decode_paged_pipe_kernel(
+    p: DecodeParams, hk: int, d: int, dv: int, nk_max: int,
+    lens_ref, leftpad_ref, cbi_ref, table_ref,
+    q_ref, k_hbm, v_hbm, o_ref, lse_ref,
+    kbuf, vbuf, ksem, vsem, acc_ref, m_ref, l_ref,
+):
+    """Paged decode with a manual multi-buffered DMA pipeline.
+
+    The automatic Pallas pipeline keeps only one KV tile in flight, so at
+    page granularity (256 rows = 512KB) the step time is DMA-*latency*
+    bound (~½ of HBM bandwidth on v5e).  This kernel owns its DMAs:
+    `_PIPE_DEPTH` page copies run concurrently (start page i+DEPTH, wait
+    page i, compute page i), which restores bandwidth-bound streaming while
+    keeping the 256-row page granularity of the serving stack — the Pallas
+    analogue of the reference's TMA multi-stage pipeline
+    (`hopper/sm90_pipeline_no_cluster.hpp`, `cute/pipeline.py:135`).
+    """
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    bps = p.blocks_per_split
+    bk = p.block_k
+    rows_n = p.lp_rows
+
+    len_b = lens_ref[b]
+    lp_b = leftpad_ref[b] if p.has_leftpad else 0
+    len_eff = len_b - lp_b
+    offset = len_eff - p.sq
+
+    kg_min = lp_b // bk
+    kg_max = (len_b - 1) // bk
+    p0 = jnp.maximum(s * bps, kg_min)
+    p1 = jnp.minimum((s + 1) * bps, kg_max + 1)
+    n_my = jnp.maximum(p1 - p0, 0)
+
+    m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+    l_ref[...] = jnp.zeros_like(l_ref)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def page_id(i):
+        kg = jnp.clip(p0 + i, 0, nk_max - 1)
+        return table_ref[b, kg]
+
+    def start(i, slot):
+        pid = page_id(i)
+        pltpu.make_async_copy(k_hbm.at[pid], kbuf.at[slot],
+                              ksem.at[slot]).start()
+        pltpu.make_async_copy(v_hbm.at[pid], vbuf.at[slot],
+                              vsem.at[slot]).start()
+
+    def wait(i, slot):
+        pid = page_id(i)
+        pltpu.make_async_copy(k_hbm.at[pid], kbuf.at[slot],
+                              ksem.at[slot]).wait()
+        pltpu.make_async_copy(v_hbm.at[pid], vbuf.at[slot],
+                              vsem.at[slot]).wait()
+
+    for t in range(_PIPE_DEPTH):
+        @pl.when(t < n_my)
+        def _warm(t=t):
+            start(t, t)
+
+    def compute(i, slot):
+        kg = p0 + i
+        rows = jax.lax.broadcasted_iota(jnp.int32, (rows_n, bk), 0)
+        pos = rows % p.sq
+        cols = kg * bk + jax.lax.broadcasted_iota(
+            jnp.int32, (rows_n, bk), 1) - lp_b
+        mask = jnp.logical_or(cols < 0, cols >= len_eff)
+        if p.has_upper:
+            mask = jnp.logical_or(mask, cols > pos + offset + p.wr)
+        if p.has_lower:
+            mask = jnp.logical_or(mask, cols < pos + offset - p.window_left)
+        for h in range(hk):
+            q = q_ref[0, h]
+            k = kbuf[slot, :, h * d:(h + 1) * d]
+            v = vbuf[slot, :, h * dv:(h + 1) * dv]
+            st = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            st = st * p.scale
+            if p.softcap > 0.0:
+                st = jnp.tanh(st / p.softcap) * p.softcap
+            st = jnp.where(mask, MASK_VALUE, st)
+            m_prev = m_ref[h, :, :1]
+            l_prev = l_ref[h, :, :1]
+            m_curr = jnp.maximum(m_prev, jnp.max(st, axis=1, keepdims=True))
+            alpha = jnp.exp2((m_prev - m_curr) * LOG2E)
+            pmat = jnp.exp2((st - m_curr) * LOG2E)
+            pmat = jnp.where(mask, 0.0, pmat)
+            l_curr = l_prev * alpha + jnp.sum(pmat, axis=1, keepdims=True)
+            m_ref[h] = jnp.broadcast_to(m_curr, m_ref.shape[1:])
+            l_ref[h] = jnp.broadcast_to(l_curr, l_ref.shape[1:])
+            acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
+                pmat.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    # chunked loop with STATIC buffer slots (a traced slot index would cost
+    # a dynamic VMEM base computation inside the hot loop)
+    def chunk_body(c, carry):
+        base = c * _PIPE_DEPTH
+        for t in range(_PIPE_DEPTH):
+            i = base + t
+
+            @pl.when(i < n_my)
+            def _go(i=i, t=t):
+                wait(i, t)
+                compute(i, t)
+
+                @pl.when(i + _PIPE_DEPTH < n_my)
+                def _next(i=i, t=t):
+                    start(i + _PIPE_DEPTH, t)
+
+        return carry
+
+    jax.lax.fori_loop(0, pl.cdiv(n_my, _PIPE_DEPTH), chunk_body, 0)
+
+    l_final = l_ref[:, :, :1]
+    m_final = m_ref[:, :, :1]
+    empty = l_final == 0.0
+    l_safe = jnp.where(empty, 1.0, l_final)
+    o_ref[0, 0] = acc_ref[...] / l_safe
+    lse = jnp.where(empty, jnp.inf, m_final + jnp.log(l_safe))
+    lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
 def _apply_rotary(x, cos, sin, positions, interleaved):
@@ -406,14 +901,11 @@ def flash_attn_with_kvcache(
         cache_seqlens = jnp.full((b,), cache_seqlens, jnp.int32)
     cache_seqlens = jnp.asarray(cache_seqlens, jnp.int32)
 
-    # native layouts
+    # The kernel consumes the reference layouts directly (whole-page DMAs,
+    # kv-head loop in-kernel) — no cache transposition.
+    kc, vc = k_cache, v_cache
     if paged:
-        kc = jnp.transpose(k_cache, (2, 0, 1, 3))  # -> (hk, npages, page, d)
-        vc = jnp.transpose(v_cache, (2, 0, 1, 3))
         page = k_cache.shape[1]
-    else:
-        kc = jnp.swapaxes(k_cache, 1, 2)  # -> (bc, hk, smax, d)
-        vc = jnp.swapaxes(v_cache, 1, 2)
 
     # rotary on q at the cache positions
     if rotary_cos is not None:
@@ -442,28 +934,18 @@ def flash_attn_with_kvcache(
             else jnp.arange(b, dtype=jnp.int32)
         )
         sidx = cache_seqlens[:, None] + jnp.arange(snew, dtype=jnp.int32)[None, :]
-        hk = k.shape[2]
-        hidx = jnp.arange(hk, dtype=jnp.int32)
         if paged:
             pids = block_table[jnp.arange(b)[:, None], sidx // page]  # (b, snew)
             poff = sidx % page
-            kc = kc.at[
-                hidx[None, None, :], pids[:, :, None], poff[:, :, None]
-            ].set(k)
-            vc = vc.at[
-                hidx[None, None, :], pids[:, :, None], poff[:, :, None]
-            ].set(v)
+            kc = kc.at[pids, poff].set(k)
+            vc = vc.at[pids, poff].set(v)
         else:
-            kc = kc.at[
-                jnp.asarray(bidx)[:, None, None], hidx[None, None, :], sidx[:, :, None]
-            ].set(k)
-            vc = vc.at[
-                jnp.asarray(bidx)[:, None, None], hidx[None, None, :], sidx[:, :, None]
-            ].set(v)
+            kc = kc.at[jnp.asarray(bidx)[:, None], sidx].set(k)
+            vc = vc.at[jnp.asarray(bidx)[:, None], sidx].set(v)
         new_len = cache_seqlens + snew
 
-    o, lse = decode_attn_bhsd(
-        jnp.swapaxes(q, 1, 2),
+    out, lse = decode_attn_ref_layout(
+        q,
         kc,
         vc,
         new_len,
@@ -477,17 +959,10 @@ def flash_attn_with_kvcache(
         cache_leftpad=cache_leftpad,
         num_splits=num_splits or 1,
     )
-    out = jnp.swapaxes(o, 1, 2)
 
     results = (out,)
     if return_softmax_lse:
         results += (lse,)
     if return_updated_cache:
-        if paged:
-            kc_out = jnp.transpose(kc, (1, 2, 0, 3))
-            vc_out = jnp.transpose(vc, (1, 2, 0, 3))
-        else:
-            kc_out = jnp.swapaxes(kc, 1, 2)
-            vc_out = jnp.swapaxes(vc, 1, 2)
-        results += ((kc_out, vc_out),)
+        results += ((kc, vc),)
     return results[0] if len(results) == 1 else results
