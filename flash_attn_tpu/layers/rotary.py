@@ -106,12 +106,16 @@ class RotaryEmbedding:
     baked into the program."""
 
     def __init__(self, dim, base=10000.0, interleaved=False, scale_base=None,
-                 pos_idx_in_fp32=True):
+                 pos_idx_in_fp32=True, interpolation_factor=1.0):
         self.dim = dim
         self.base = float(base)
         self.interleaved = interleaved
         self.scale_base = scale_base
         self.pos_idx_in_fp32 = pos_idx_in_fp32
+        # position-interpolation / NTK context extension
+        # (`rotary.py:331` interpolation_factor semantics: positions are
+        # divided by the factor)
+        self.interpolation_factor = float(interpolation_factor)
         self.inv_freq = 1.0 / (
             self.base ** (np.arange(0, dim, 2, dtype=np.float32) / dim)
         )
@@ -128,6 +132,8 @@ class RotaryEmbedding:
             return
         self._cached_len = seqlen
         t = np.arange(seqlen, dtype=np.float32)
+        if self.interpolation_factor != 1.0:
+            t = t / self.interpolation_factor
         freqs = np.outer(t, self.inv_freq)
         if self.scale is None:
             self._cos = jnp.asarray(np.cos(freqs))

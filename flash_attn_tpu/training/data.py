@@ -102,3 +102,16 @@ def make_loader(cfg, vocab_size: int) -> FaultTolerantLoader:
         tokens = np.load(cfg.dataset, mmap_mode="r")
     ds = LMDataset(np.asarray(tokens), cfg.seq_len)
     return FaultTolerantLoader(ds, cfg.batch_size, seed=cfg.seed)
+
+
+def load_memmap_tokens(path, dtype=np.uint16):
+    """Memory-map a flat binary token shard (the on-disk format of the
+    reference's preprocessed datasets, `datamodules/lm_dataset.py`
+    np.memmap usage).  Returns a read-only numpy view; combine with
+    `LMDataset` / `FaultTolerantLoader`."""
+    return np.memmap(path, dtype=dtype, mode="r")
+
+
+def lm_dataset_from_bin(path, seq_len, dtype=np.uint16):
+    """`LMDataset` over a memory-mapped .bin token shard."""
+    return LMDataset(load_memmap_tokens(path, dtype), seq_len)
