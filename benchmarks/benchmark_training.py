@@ -1,0 +1,102 @@
+"""End-to-end GPT training-step throughput (tokens/s, TFLOP/s, MFU).
+
+TPU counterpart of the reference's training headline numbers
+(`README.md:496-501` up to 225 TFLOPs/s/A100 = 72% MFU;
+`training/README.md:5-8` 189 TFLOPs/s = 60.6% MFU): one fwd+bwd+adamw step
+of a LLaMA-style GPT (RMSNorm, rotary, SwiGLU) in bf16 on a single chip.
+
+FLOPs model: 6 * params * tokens  +  attention 3.5 * (4*b*s^2*h*d / 2)
+(causal fwd+bwd, `benchmarks/benchmark_flash_attention.py:27-33`).
+
+Run: python benchmarks/benchmark_training.py [--quick]
+"""
+
+import argparse
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--seqlen", type=int, default=2048)
+    ap.add_argument("--batch", type=int, default=8)
+    args = ap.parse_args()
+
+    import optax
+    from transformers import GPT2Config
+
+    from flash_attn_tpu.losses.cross_entropy import cross_entropy_loss
+    from flash_attn_tpu.models.gpt import GPTLMHeadModel
+    from flash_attn_tpu.utils.benchmark import benchmark_chained
+
+    if args.quick:
+        n_embd, n_layer, n_head, vocab = 512, 4, 8, 32000
+        b, s = 2, 1024
+    else:
+        # ~350M params: the largest that fits one v5e core with optimizer
+        # state at seq 2048 comfortably
+        n_embd, n_layer, n_head, vocab = 1024, 24, 16, 50304
+        b, s = args.batch, args.seqlen
+
+    cfg = GPT2Config(
+        n_embd=n_embd, n_head=n_head, n_layer=n_layer, vocab_size=vocab,
+        n_positions=s, resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+    )
+    cfg.rms_norm = True
+    cfg.rotary_emb_fraction = 1.0
+    cfg.activation_function = "swiglu"
+    cfg.qkv_proj_bias = False
+    cfg.out_proj_bias = False
+    cfg.mlp_fc1_bias = False
+    cfg.mlp_fc2_bias = False
+    cfg.residual_in_fp32 = True
+    cfg.tie_word_embeddings = False
+
+    model = GPTLMHeadModel(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, vocab, (b, s + 1)), jnp.int32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), ids[:, :s])
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+    opt = optax.adamw(3e-4)
+    opt_state = opt.init(params)
+
+    def loss_fn(params, batch):
+        logits = model.apply(params, batch[:, :-1]).logits
+        losses, _ = cross_entropy_loss(
+            logits.reshape(-1, vocab).astype(jnp.float32),
+            batch[:, 1:].reshape(-1),
+        )
+        return jnp.mean(losses)
+
+    def train_step(carry, batch):
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state)
+
+    dt = benchmark_chained(train_step, (params, opt_state), ids,
+                           iters=4 if args.quick else 8, reps=3)
+
+    tokens = b * s
+    d_head = n_embd // n_head
+    dense_flops = 6 * n_params * tokens
+    attn_flops = 3.5 * (4 * b * s * s * n_head * d_head // 2) * n_layer
+    flops = dense_flops + attn_flops
+    peak = 197e12  # v5e bf16
+    print(f"params={n_params/1e6:.0f}M  batch={b}x{s}")
+    print(f"step: {dt*1e3:.1f} ms   {tokens/dt:,.0f} tokens/s   "
+          f"{flops/dt/1e12:.1f} TFLOP/s   MFU {flops/dt/peak*100:.1f}%")
+
+
+if __name__ == "__main__":
+    main()
