@@ -44,7 +44,7 @@ __all__ = [
 
 @functools.lru_cache(maxsize=None)
 def _make_core(scale, causal, window, softcap, has_alibi, block_q, block_k,
-               dropout_p):
+               dropout_p, attention_chunk=0):
     """Build a custom_vjp-wrapped core for one static config.
 
     The cache plays the role of the reference's per-config kernel dispatch
@@ -58,6 +58,7 @@ def _make_core(scale, causal, window, softcap, has_alibi, block_q, block_k,
         block_q=block_q,
         block_k=block_k,
         dropout_p=dropout_p,
+        attention_chunk=attention_chunk,
     )
 
     @jax.custom_vjp
@@ -91,7 +92,7 @@ def _make_core(scale, causal, window, softcap, has_alibi, block_q, block_k,
 def _attn_bhsd(
     q, k, v, *, softmax_scale, causal, window_size, softcap, alibi_slopes,
     seqused_q, seqused_k, block_q=None, block_k=None, return_lse=False,
-    dropout_p=0.0, dropout_seed=None,
+    dropout_p=0.0, dropout_seed=None, attention_chunk=0,
 ):
     if dropout_p > 0.0 and block_q is None:
         # shared fwd/bwd tiling is not required (the keep mask hashes
@@ -102,6 +103,7 @@ def _attn_bhsd(
         float(softmax_scale), bool(causal),
         (int(window_size[0]), int(window_size[1])), float(softcap),
         alibi_slopes is not None, block_q, block_k, float(dropout_p),
+        int(attention_chunk),
     )
     seed = jnp.asarray(0 if dropout_seed is None else dropout_seed, jnp.int32)
     o, lse = core(q, k, v, alibi_slopes, seqused_q, seqused_k, seed)
@@ -134,6 +136,7 @@ def flash_attn_func(
     v_descale=None,
     sinks=None,
     dropout_seed=None,
+    attention_chunk=0,
 ):
     """Multi-head attention, (b, s, h, d) layout (`flash_attn_func:1145`).
 
@@ -182,6 +185,7 @@ def flash_attn_func(
             seqused_q=seqused_q, seqused_k=seqused_k,
             return_lse=return_attn_probs,
             dropout_p=dropout_p, dropout_seed=dropout_seed,
+            attention_chunk=attention_chunk,
         )
     o = jnp.swapaxes(o, 1, 2)
     if return_attn_probs:

@@ -62,6 +62,7 @@ class BwdParams:
     block_q: int
     block_k: int
     dropout_p: float = 0.0
+    attention_chunk: int = 0
 
     @property
     def wr(self) -> int:
@@ -144,6 +145,9 @@ def _bwd_dq_kernel(p: BwdParams, sq_ref, sk_ref, *refs):
             mask = jnp.logical_or(mask, cols > rows + offset + p.wr)
         if p.has_lower:
             mask = jnp.logical_or(mask, cols < rows + offset - p.window_left)
+        if p.attention_chunk > 0:
+            cc = p.attention_chunk
+            mask = jnp.logical_or(mask, cols // cc != (rows + offset) // cc)
         s = jnp.where(mask, MASK_VALUE, s)
 
         pmat = jnp.exp2((s - lse_row) * LOG2E)  # underflows to exactly 0 when masked
@@ -243,6 +247,9 @@ def _bwd_dkv_kernel(p: BwdParams, sq_ref, sk_ref, *refs):
             mask = jnp.logical_or(mask, cols > rows + offset + p.wr)
         if p.has_lower:
             mask = jnp.logical_or(mask, cols < rows + offset - p.window_left)
+        if p.attention_chunk > 0:
+            cc = p.attention_chunk
+            mask = jnp.logical_or(mask, cols // cc != (rows + offset) // cc)
         s = jnp.where(mask, MASK_VALUE, s)
 
         pmat = jnp.exp2((s - lse_row) * LOG2E)
@@ -295,6 +302,7 @@ def flash_attn_bwd_bhsd(
     alibi_slopes=None,
     dropout_p: float = 0.0,
     dropout_seed=None,
+    attention_chunk: int = 0,
     block_q: int | None = None,
     block_k: int | None = None,
     dlse=None,
@@ -356,6 +364,7 @@ def flash_attn_bwd_bhsd(
         block_q=bq,
         block_k=bk,
         dropout_p=float(dropout_p),
+        attention_chunk=int(attention_chunk),
     )
     seed = jnp.asarray(
         0 if dropout_seed is None else dropout_seed, jnp.int32

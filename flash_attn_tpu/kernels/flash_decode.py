@@ -58,6 +58,7 @@ class DecodeParams:
     block_k: int
     blocks_per_split: int
     paged: bool
+    attention_chunk: int = 0
     # KV tiles DMA'd per grid step: small pages are bundled so each step
     # streams >= ~512 rows (measured on v5e: 256-row DMAs leave >3x HBM
     # bandwidth on the table; the bundle is the Pallas analogue of the
@@ -149,6 +150,9 @@ def _decode_kernel(p: DecodeParams, *args):
             mask = jnp.logical_or(mask, cols > pos + offset + p.wr)
         if p.has_lower:
             mask = jnp.logical_or(mask, cols < pos + offset - p.window_left)
+        if p.attention_chunk > 0:
+            cc = p.attention_chunk
+            mask = jnp.logical_or(mask, cols // cc != (pos + offset) // cc)
         st = jnp.where(mask, MASK_VALUE, st)
 
         m_prev = m_ref[:, :1]
@@ -200,6 +204,7 @@ def decode_attn_bhsd(
     cache_leftpad=None,
     num_splits: int = 1,
     block_k: int = 512,
+    attention_chunk: int = 0,
 ):
     """Split-KV decode attention on native layouts.
 
@@ -252,6 +257,7 @@ def decode_attn_bhsd(
         blocks_per_split=bps,
         paged=paged,
         bundle=bundle,
+        attention_chunk=int(attention_chunk),
     )
 
     lens = jnp.asarray(cache_seqlens, jnp.int32)
@@ -414,6 +420,9 @@ def _decode_ref_kernel(p: DecodeParams, hk: int, *args):
             mask = jnp.logical_or(mask, cols > pos + offset + p.wr)
         if p.has_lower:
             mask = jnp.logical_or(mask, cols < pos + offset - p.window_left)
+        if p.attention_chunk > 0:
+            cc = p.attention_chunk
+            mask = jnp.logical_or(mask, cols // cc != (pos + offset) // cc)
 
         d = q_ref.shape[-1]
         dv = v_ref.shape[-1] // hk
@@ -489,6 +498,7 @@ def decode_attn_ref_layout(
     cache_leftpad=None,
     num_splits: int = 1,
     block_k: int = 512,
+    attention_chunk: int = 0,
 ):
     """Split-KV decode on reference-layout caches (no transposes).
 
@@ -555,6 +565,7 @@ def decode_attn_ref_layout(
         blocks_per_split=bps,
         paged=paged,
         bundle=bundle,
+        attention_chunk=int(attention_chunk),
     )
 
     lens = jnp.asarray(cache_seqlens, jnp.int32)
@@ -773,6 +784,9 @@ def _decode_paged_pipe_kernel(
             mask = jnp.logical_or(mask, cols > pos + offset + p.wr)
         if p.has_lower:
             mask = jnp.logical_or(mask, cols < pos + offset - p.window_left)
+        if p.attention_chunk > 0:
+            cc = p.attention_chunk
+            mask = jnp.logical_or(mask, cols // cc != (pos + offset) // cc)
         for h in range(hk):
             q = q_ref[0, h]
             k = kbuf[slot, :, h * d:(h + 1) * d]
@@ -877,6 +891,7 @@ def flash_attn_with_kvcache(
     rotary_interleaved=False,
     alibi_slopes=None,
     num_splits=0,
+    attention_chunk=0,
     return_softmax_lse=False,
     return_updated_cache=False,
 ):
@@ -958,6 +973,7 @@ def flash_attn_with_kvcache(
         cache_batch_idx=cache_batch_idx,
         cache_leftpad=cache_leftpad,
         num_splits=num_splits or 1,
+        attention_chunk=attention_chunk,
     )
 
     results = (out,)

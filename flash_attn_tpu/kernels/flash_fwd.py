@@ -103,6 +103,9 @@ class FwdParams:
     # semantics: P dropped and scaled by 1/(1-p); the softmax denominator
     # and LSE stay undropped).
     dropout_p: float = 0.0
+    # Chunked attention: queries attend only within their own chunk of
+    # `attention_chunk` positions (FA3 `hopper/flash_api.cpp:701`).
+    attention_chunk: int = 0
 
     @property
     def local(self) -> bool:
@@ -232,6 +235,10 @@ def _fwd_kernel(p: FwdParams, sq_ref, sk_ref, *refs):
                 mask = jnp.logical_or(
                     mask, cols < rows + offset - p.window_left
                 )
+            if p.attention_chunk > 0:
+                cc = p.attention_chunk
+                mask = jnp.logical_or(mask,
+                                      cols // cc != (rows + offset) // cc)
             s = jnp.where(mask, MASK_VALUE, s)
 
         m_prev = m_ref[:, :1]  # (bq, 1)
@@ -269,6 +276,8 @@ def _fwd_kernel(p: FwdParams, sq_ref, sk_ref, *refs):
         c0 = kgj * bks
         c1 = c0 + bks - 1
         interior = c1 < sk_b
+        if p.attention_chunk > 0:
+            interior = jnp.bool_(False) & interior
         if p.has_upper:
             interior = jnp.logical_and(interior, c1 <= r0 + offset + p.wr)
         if p.has_lower:
@@ -332,6 +341,7 @@ def flash_attn_fwd_bhsd(
     sinks=None,
     dropout_p: float = 0.0,
     dropout_seed=None,
+    attention_chunk: int = 0,
     block_q: int | None = None,
     block_k: int | None = None,
     block_k_sub: int | None = None,
@@ -392,6 +402,7 @@ def flash_attn_fwd_bhsd(
         fp8=bool(fp8),
         has_sinks=sinks is not None,
         dropout_p=float(dropout_p),
+        attention_chunk=int(attention_chunk),
     )
 
     if not (p.softcap > 0.0 or p.has_alibi) and not fp8:

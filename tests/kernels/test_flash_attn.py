@@ -475,3 +475,62 @@ def test_flash_attn_dropout(causal):
     dp_ = jax.grad(lambda q, k, v: lr(q, k, v, jnp.bfloat16), (0, 1, 2))(q, k, v)
     for a, r, pt in zip(df, dr, dp_):
         check_close(a, r, pt)
+
+
+def test_flash_attn_attention_chunk():
+    """Chunked attention (`hopper/flash_api.cpp:701` attention_chunk):
+    each query attends only within its own chunk, combined with causal."""
+    b, h, sq, sk, d, chunk = 2, 4, 256, 256, 64, 64
+    q, k, v = make_qkv(b, sq, sk, h, h, d, jnp.bfloat16, seed=13)
+    out = flash_attn_func(q, k, v, causal=True, attention_chunk=chunk)
+    qi = jnp.arange(sq)[:, None]
+    ki = jnp.arange(sk)[None, :]
+    keep = (ki <= qi) & (ki // chunk == qi // chunk)
+    bias = jnp.where(keep, 0.0, -jnp.inf)
+    out_ref, _ = attention_ref(q, k, v, attn_bias=bias)
+    out_pt, _ = attention_ref(q, k, v, attn_bias=bias, upcast=False,
+                              reorder_ops=True)
+    check_close(out, out_ref, out_pt)
+
+    # grads
+    g = jnp.asarray(np.random.default_rng(14).standard_normal(out.shape),
+                    out.dtype)
+
+    def lf(q, k, v):
+        o = flash_attn_func(q, k, v, causal=True, attention_chunk=chunk)
+        return jnp.sum(o.astype(jnp.float32) * g.astype(jnp.float32))
+
+    def lr(q, k, v, up=True, ro=False):
+        o = attention_ref(q, k, v, attn_bias=bias, upcast=up,
+                          reorder_ops=ro)[0]
+        return jnp.sum(o.astype(jnp.float32) * g.astype(jnp.float32))
+
+    df = jax.grad(lf, (0, 1, 2))(q, k, v)
+    dr = jax.grad(lr, (0, 1, 2))(q, k, v)
+    dp = jax.grad(lambda q, k, v: lr(q, k, v, False, True), (0, 1, 2))(q, k, v)
+    for a, r, pt in zip(df, dr, dp):
+        check_close(a, r, pt)
+
+
+def test_kvcache_attention_chunk():
+    from flash_attn_tpu import flash_attn_with_kvcache
+
+    b, h, d, cache, chunk = 2, 4, 64, 512, 128
+    rng = np.random.default_rng(15)
+    q = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.bfloat16)
+    kc = jnp.asarray(rng.standard_normal((b, cache, h, d)), jnp.bfloat16)
+    vc = jnp.asarray(rng.standard_normal((b, cache, h, d)), jnp.bfloat16)
+    lens = jnp.asarray([cache, cache - 100], jnp.int32)
+    out = flash_attn_with_kvcache(q, kc, vc, cache_seqlens=lens, causal=True,
+                                  attention_chunk=chunk)
+    # oracle: query position is lens-1; attends [pos//chunk*chunk, pos]
+    for bi in range(b):
+        pos = int(lens[bi]) - 1
+        lo = pos // chunk * chunk
+        sc = jnp.einsum("hd,khd->hk",
+                        q[bi, 0].astype(jnp.float32),
+                        kc[bi, lo:pos + 1].astype(jnp.float32)) * d ** -0.5
+        p_ = jax.nn.softmax(sc, -1)
+        ref = jnp.einsum("hk,khd->hd", p_, vc[bi, lo:pos + 1].astype(jnp.float32))
+        err = float(jnp.abs(out[bi, 0].astype(jnp.float32) - ref).max())
+        assert err < 2e-2, (bi, err)
