@@ -40,7 +40,8 @@ from flash_attn_tpu.kernels.combine import merge_attn_state
 def _ring_shard_fn(q, k, v, *, axis, n, scale, causal, block_q, block_k):
     """Per-shard ring attention body; q/k/v are (b, chunk, h|hk, d)."""
     b, chunk, h, d = q.shape
-    core = _make_core(scale, causal, (-1, -1), 0.0, False, block_q, block_k)
+    core = _make_core(scale, causal, (-1, -1), 0.0, False, block_q, block_k,
+                      0.0)
     i = jax.lax.axis_index(axis)
     qt = jnp.swapaxes(q, 1, 2)
 
@@ -70,7 +71,7 @@ def _ring_shard_fn(q, k, v, *, axis, n, scale, causal, block_q, block_k):
         v_nxt = jax.lax.ppermute(v_cur, axis, perm)
         o_t, lse_t = core(
             qt, jnp.swapaxes(k_cur, 1, 2), jnp.swapaxes(v_cur, 1, 2),
-            None, seqused_q, seqused_k,
+            None, seqused_q, seqused_k, jnp.int32(0),
         )
         o, lse = merge_attn_state(o, lse, o_t.astype(jnp.float32), lse_t)
         return (k_nxt, v_nxt, o, lse), None

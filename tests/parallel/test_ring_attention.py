@@ -62,7 +62,9 @@ def test_ring_grads_match_dense():
     dd = jax.jit(jax.grad(loss_dense, argnums=(0, 1, 2)))(q, k, v)
     for name, a, b_ in zip("dq dk dv".split(), dr, dd):
         err = float(jnp.abs(a.astype(jnp.float32) - b_.astype(jnp.float32)).max())
-        assert err < 3e-2, (name, err)
+        # one-two bf16 ulps at grad magnitude ~4 (the scale-fold in Q
+        # changes rounding vs the dense path)
+        assert err < 5e-2, (name, err)
 
 
 @pytest.mark.parametrize("causal", [False, True])
