@@ -66,11 +66,16 @@ def fwd_block_sizes(
     return FwdBlockSizes(bq, bk, bks)
 
 
-def bwd_block_sizes(seqlen_q: int, seqlen_k: int, head_dim: int) -> BwdBlockSizes:
+def bwd_block_sizes(
+    seqlen_q: int, seqlen_k: int, head_dim: int, boundary_heavy: bool = False
+) -> BwdBlockSizes:
+    # v5e sweep (fwd+bwd, hdim128 seq8k): dense prefers a 2048-wide KV tile
+    # in the bwd kernels; causal/local prefer square 1024 (less diagonal
+    # waste).
     if head_dim <= 128:
-        b = 1024
+        bq, bk = (1024, 1024) if boundary_heavy else (1024, 2048)
     else:
-        b = 512
-    bq = min(b, max(128, round_up(seqlen_q, 128)))
-    bk = min(b, max(128, round_up(seqlen_k, 128)))
+        bq, bk = 512, 512
+    bq = min(bq, max(128, round_up(seqlen_q, 128)))
+    bk = min(bk, max(128, round_up(seqlen_k, 128)))
     return BwdBlockSizes(bq, bk, bq, bk)

@@ -322,7 +322,8 @@ def flash_attn_bwd_bhsd(
     dv_dim = v.shape[-1]  # may differ from d (MLA shapes, FA3 hdim_v)
     g = h // hk
 
-    bs = bwd_block_sizes(sq, sk, d)
+    boundary_heavy = causal or window_size[0] >= 0 or window_size[1] >= 0
+    bs = bwd_block_sizes(sq, sk, d, boundary_heavy=boundary_heavy)
     bq = block_q or bs.block_q_dq
     bk = block_k or bs.block_k_dq
     sq_p = round_up(max(sq, bq), bq)
