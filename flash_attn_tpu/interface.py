@@ -44,7 +44,7 @@ __all__ = [
 
 @functools.lru_cache(maxsize=None)
 def _make_core(scale, causal, window, softcap, has_alibi, block_q, block_k,
-               dropout_p, attention_chunk=0):
+               dropout_p, attention_chunk=0, has_sinks=False):
     """Build a custom_vjp-wrapped core for one static config.
 
     The cache plays the role of the reference's per-config kernel dispatch
@@ -62,28 +62,45 @@ def _make_core(scale, causal, window, softcap, has_alibi, block_q, block_k,
     )
 
     @jax.custom_vjp
-    def core(q, k, v, slopes, seqused_q, seqused_k, dropout_seed):
+    def core(q, k, v, slopes, sinks, seqused_q, seqused_k, dropout_seed):
         return flash_attn_fwd_bhsd(
-            q, k, v, seqused_q, seqused_k, alibi_slopes=slopes,
+            q, k, v, seqused_q, seqused_k, alibi_slopes=slopes, sinks=sinks,
             dropout_seed=dropout_seed, **kw
         )
 
-    def core_fwd(q, k, v, slopes, seqused_q, seqused_k, dropout_seed):
+    def core_fwd(q, k, v, slopes, sinks, seqused_q, seqused_k, dropout_seed):
         o, lse = flash_attn_fwd_bhsd(
-            q, k, v, seqused_q, seqused_k, alibi_slopes=slopes,
+            q, k, v, seqused_q, seqused_k, alibi_slopes=slopes, sinks=sinks,
             dropout_seed=dropout_seed, **kw
         )
-        return (o, lse), (q, k, v, o, lse, slopes, seqused_q, seqused_k,
-                          dropout_seed)
+        return (o, lse), (q, k, v, o, lse, slopes, sinks, seqused_q,
+                          seqused_k, dropout_seed)
 
     def core_bwd(res, cts):
         do, dlse = cts
-        q, k, v, o, lse, slopes, seqused_q, seqused_k, dropout_seed = res
+        (q, k, v, o, lse, slopes, sinks, seqused_q, seqused_k,
+         dropout_seed) = res
+        # With an attention sink the saved LSE already includes the sink
+        # logit, so p_ij = exp(s_ij - lse_i) is the correct (sub-unit)
+        # probability and the standard dq/dk/dv recompute is unchanged.
         dq, dk, dv = flash_attn_bwd_bhsd(
             do, q, k, v, o, lse, seqused_q, seqused_k, alibi_slopes=slopes,
             dlse=dlse, dropout_seed=dropout_seed, **kw
         )
-        return dq, dk, dv, None, None, None, None
+        dsinks = None
+        if has_sinks:
+            # dL/dsink_h = sum_{b,i} p_sink (dlse_i - delta_i),
+            # p_sink = exp(sink_h - lse_{b,h,i})
+            delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                            axis=-1)  # (b, h, sq)
+            p_sink = jnp.exp(
+                jnp.asarray(sinks, jnp.float32)[None, :, None] - lse
+            )
+            ct = -delta if dlse is None else (dlse.astype(jnp.float32)
+                                              - delta)
+            dsinks = jnp.sum(p_sink * ct, axis=(0, 2)).astype(
+                jnp.asarray(sinks).dtype)
+        return dq, dk, dv, None, dsinks, None, None, None
 
     core.defvjp(core_fwd, core_bwd)
     return core
@@ -92,7 +109,7 @@ def _make_core(scale, causal, window, softcap, has_alibi, block_q, block_k,
 def _attn_bhsd(
     q, k, v, *, softmax_scale, causal, window_size, softcap, alibi_slopes,
     seqused_q, seqused_k, block_q=None, block_k=None, return_lse=False,
-    dropout_p=0.0, dropout_seed=None, attention_chunk=0,
+    dropout_p=0.0, dropout_seed=None, attention_chunk=0, sinks=None,
 ):
     if dropout_p > 0.0 and block_q is None:
         # shared fwd/bwd tiling is not required (the keep mask hashes
@@ -103,10 +120,10 @@ def _attn_bhsd(
         float(softmax_scale), bool(causal),
         (int(window_size[0]), int(window_size[1])), float(softcap),
         alibi_slopes is not None, block_q, block_k, float(dropout_p),
-        int(attention_chunk),
+        int(attention_chunk), sinks is not None,
     )
     seed = jnp.asarray(0 if dropout_seed is None else dropout_seed, jnp.int32)
-    o, lse = core(q, k, v, alibi_slopes, seqused_q, seqused_k, seed)
+    o, lse = core(q, k, v, alibi_slopes, sinks, seqused_q, seqused_k, seed)
     return o, (lse if return_lse else None)
 
 
@@ -150,7 +167,8 @@ def flash_attn_func(
     `hopper/flash_attn_interface.py` descale args); forward-only, bf16 out.
 
     `sinks`: (nheads,) learnable attention-sink logits (softmax denominator
-    only; `cute/interface.py:1149`).  Forward-only for now.
+    only; `cute/interface.py:1149`).  Fully differentiable, including
+    d(loss)/d(sinks).
     """
     _check_dropout(dropout_p)
     del deterministic  # always deterministic on TPU
@@ -163,9 +181,8 @@ def flash_attn_func(
     vt = jnp.swapaxes(v, 1, 2)
     seqused_q = jnp.full((b,), sq, jnp.int32)
     seqused_k = jnp.full((b,), sk, jnp.int32)
-    if _is_fp8(q) or sinks is not None:
-        # Forward-only paths (the reference FP8 kernel has no backward
-        # either; sink gradients not wired yet).
+    if _is_fp8(q):
+        # Forward-only (the reference FP8 kernel has no backward either).
         from flash_attn_tpu.kernels.flash_fwd import flash_attn_fwd_bhsd
 
         o, lse = flash_attn_fwd_bhsd(
@@ -185,7 +202,7 @@ def flash_attn_func(
             seqused_q=seqused_q, seqused_k=seqused_k,
             return_lse=return_attn_probs,
             dropout_p=dropout_p, dropout_seed=dropout_seed,
-            attention_chunk=attention_chunk,
+            attention_chunk=attention_chunk, sinks=sinks,
         )
     o = jnp.swapaxes(o, 1, 2)
     if return_attn_probs:

@@ -71,7 +71,7 @@ def _ring_shard_fn(q, k, v, *, axis, n, scale, causal, block_q, block_k):
         v_nxt = jax.lax.ppermute(v_cur, axis, perm)
         o_t, lse_t = core(
             qt, jnp.swapaxes(k_cur, 1, 2), jnp.swapaxes(v_cur, 1, 2),
-            None, seqused_q, seqused_k, jnp.int32(0),
+            None, None, seqused_q, seqused_k, jnp.int32(0),
         )
         o, lse = merge_attn_state(o, lse, o_t.astype(jnp.float32), lse_t)
         return (k_nxt, v_nxt, o, lse), None

@@ -534,3 +534,35 @@ def test_kvcache_attention_chunk():
         ref = jnp.einsum("hk,khd->hd", p_, vc[bi, lo:pos + 1].astype(jnp.float32))
         err = float(jnp.abs(out[bi, 0].astype(jnp.float32) - ref).max())
         assert err < 2e-2, (bi, err)
+
+
+def test_flash_attn_sinks_grad():
+    """Gradients flow to q/k/v AND the learnable sink logits."""
+    b, h, s, d = 2, 4, 128, 64
+    rng = np.random.default_rng(16)
+    q, k, v = make_qkv(b, s, s, h, h, d, jnp.bfloat16, seed=16)
+    sinks = jnp.asarray(rng.standard_normal(h), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+
+    def lf(q, k, v, sinks):
+        o = flash_attn_func(q, k, v, causal=True, sinks=sinks)
+        return jnp.sum(o.astype(jnp.float32) * g.astype(jnp.float32))
+
+    def lr(q, k, v, sinks):
+        sc = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * d ** -0.5
+        mask = jnp.tril(jnp.ones((s, s), bool))
+        sc = jnp.where(mask, sc, -jnp.inf)
+        sc_aug = jnp.concatenate(
+            [sc, jnp.broadcast_to(sinks[None, :, None, None], (b, h, s, 1))],
+            axis=-1)
+        p_ = jax.nn.softmax(sc_aug, -1)
+        o = jnp.einsum("bhqk,bkhd->bqhd", p_[..., :-1], v.astype(jnp.float32))
+        return jnp.sum(o * g.astype(jnp.float32))
+
+    df = jax.grad(lf, (0, 1, 2, 3))(q, k, v, sinks)
+    dr = jax.grad(lr, (0, 1, 2, 3))(q, k, v, sinks)
+    for name, a, r in zip(["dq", "dk", "dv", "dsinks"], df, dr):
+        err = float(jnp.abs(a.astype(jnp.float32) - r.astype(jnp.float32)).max())
+        scale = float(jnp.abs(r.astype(jnp.float32)).max()) + 1e-6
+        assert err / scale < 0.05, (name, err, scale)
