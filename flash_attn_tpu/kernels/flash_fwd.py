@@ -106,6 +106,12 @@ class FwdParams:
     # Chunked attention: queries attend only within their own chunk of
     # `attention_chunk` positions (FA3 `hopper/flash_api.cpp:701`).
     attention_chunk: int = 0
+    # Heads processed per grid step.  Short sequences are grid-step-overhead
+    # and KV-bandwidth bound; blocking heads amortises both (each K/V tile
+    # is DMA'd once and reused by every q head of the block — the TPU
+    # counterpart of the reference's persistent-scheduler head batching).
+    block_h: int = 1
+    hbk: int = 1  # kv heads per block (HB for MHA, 1 for GQA)
 
     @property
     def local(self) -> bool:
@@ -166,11 +172,13 @@ def _fwd_kernel(p: FwdParams, sq_ref, sk_ref, *refs):
     o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
 
     b = pl.program_id(0)
-    hq = pl.program_id(1)
+    hb = pl.program_id(1)
     ki = pl.program_id(3)
     qi = pl.program_id(2)
     nk = pl.num_programs(3)
     bq, bk = p.block_q, p.block_k
+    HB = p.block_h
+    hq0 = hb * HB  # first global q head of this block
     sq_b = sq_ref[b]
     sk_b = sk_ref[b]
 
@@ -182,14 +190,16 @@ def _fwd_kernel(p: FwdParams, sq_ref, sk_ref, *refs):
     generic = p.softcap > 0.0 or p.has_alibi
     c = LOG2E if generic else 1.0
 
-    if p.fp8:
-        # Dequantise Q once per grid step, folding the qk descale (and, on
-        # the fast path, scale*log2(e)) into the same scalar multiply.
-        deq = qd_ref[b, hq // p.g] * kd_ref[b, hq // p.g]
-        qmul = deq if generic else deq * (p.scale * LOG2E)
-        q_tile = (q_ref[0, 0].astype(jnp.float32) * qmul).astype(jnp.bfloat16)
-    else:
-        q_tile = q_ref[0, 0]
+    def q_tile(hh):
+        if p.fp8:
+            # Dequantise Q on load, folding the qk descale (and, on the
+            # fast path, scale*log2(e)) into the same scalar multiply.
+            hkv = (hq0 + hh) // p.g
+            deq = qd_ref[b, hkv] * kd_ref[b, hkv]
+            qmul = deq if generic else deq * (p.scale * LOG2E)
+            return (q_ref[0, hh].astype(jnp.float32) * qmul
+                    ).astype(jnp.bfloat16)
+        return q_ref[0, hh]
 
     @pl.when(ki == 0)
     def _init():
@@ -204,29 +214,14 @@ def _fwd_kernel(p: FwdParams, sq_ref, sk_ref, *refs):
     r1 = r0 + bq - 1
 
     def _update(j, kgj, masked: bool):
-        """Process one (bq, bks) compute subtile at global subtile idx kgj."""
-        q = q_tile  # (bq, d)
-        k = k_ref[0, 0, j * bks:(j + 1) * bks, :]  # (bks, d), static slice
-        v = v_ref[0, 0, j * bks:(j + 1) * bks, :]
-        if p.fp8:
-            k = k.astype(jnp.bfloat16)
-            v = v.astype(jnp.bfloat16)
-
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        """One (bq, bks) compute subtile at global subtile idx kgj, for all
+        HB heads of the block (mask/iota built once, K/V slice reused)."""
         mask = None
         rows = cols = None
-        if generic:
-            s = s * p.scale
-            if p.softcap > 0.0:
-                s = jnp.tanh(s / p.softcap) * p.softcap
         if masked or p.has_alibi or p.dropout_p > 0.0:
             rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bks), 0)
-            cols = kgj * bks + jax.lax.broadcasted_iota(jnp.int32, (bq, bks), 1)
-        if p.has_alibi:
-            slope = slopes_ref[b, hq]
-            s = s - slope * jnp.abs(rows + offset - cols).astype(jnp.float32)
+            cols = kgj * bks + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bks), 1)
         if masked:
             mask = cols >= sk_b
             if p.has_upper:
@@ -239,30 +234,55 @@ def _fwd_kernel(p: FwdParams, sq_ref, sk_ref, *refs):
                 cc = p.attention_chunk
                 mask = jnp.logical_or(mask,
                                       cols // cc != (rows + offset) // cc)
-            s = jnp.where(mask, MASK_VALUE, s)
 
-        m_prev = m_ref[:, :1]  # (bq, 1)
-        l_prev = l_ref[:, :1]
-        m_curr = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp2((m_prev - m_curr) * c)
-        pmat = jnp.exp2((s - m_curr) * c)
-        if masked:
-            # A row whose every column is masked in this tile would get
-            # p == 1 from exp2(0); zero it explicitly.
-            pmat = jnp.where(mask, 0.0, pmat)
+        for hh in range(HB):
+            # kv head within the block: one shared head (GQA, HBK==1) or
+            # aligned per-q-head (MHA, HBK==HB)
+            hkv_local = 0 if p.hbk == 1 else hh
+            k = k_ref[0, hkv_local, j * bks:(j + 1) * bks, :]
+            v = v_ref[0, hkv_local, j * bks:(j + 1) * bks, :]
+            if p.fp8:
+                k = k.astype(jnp.bfloat16)
+                v = v.astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                q_tile(hh), k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if generic:
+                s = s * p.scale
+                if p.softcap > 0.0:
+                    s = jnp.tanh(s / p.softcap) * p.softcap
+            if p.has_alibi:
+                slope = slopes_ref[b, hq0 + hh]
+                s = s - slope * jnp.abs(rows + offset - cols).astype(
+                    jnp.float32)
+            if masked:
+                s = jnp.where(mask, MASK_VALUE, s)
 
-        l_curr = l_prev * alpha + jnp.sum(pmat, axis=1, keepdims=True)
-        m_ref[...] = jnp.broadcast_to(m_curr, m_ref.shape)
-        l_ref[...] = jnp.broadcast_to(l_curr, l_ref.shape)
+            m_prev = m_ref[hh, :, :1]  # (bq, 1)
+            l_prev = l_ref[hh, :, :1]
+            m_curr = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp2((m_prev - m_curr) * c)
+            pmat = jnp.exp2((s - m_curr) * c)
+            if masked:
+                # A row whose every column is masked in this tile would get
+                # p == 1 from exp2(0); zero it explicitly.
+                pmat = jnp.where(mask, 0.0, pmat)
 
-        if p.dropout_p > 0.0:
-            keep_d = dropout_keep(seed_ref[0], b, hq, rows, cols, p.dropout_p)
-            pmat = jnp.where(keep_d, pmat, 0.0) * (1.0 / (1.0 - p.dropout_p))
-        pv = jax.lax.dot_general(
-            pmat.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_ref[...] = acc_ref[...] * alpha + pv
+            l_curr = l_prev * alpha + jnp.sum(pmat, axis=1, keepdims=True)
+            m_ref[hh] = jnp.broadcast_to(m_curr, m_ref.shape[1:])
+            l_ref[hh] = jnp.broadcast_to(l_curr, l_ref.shape[1:])
+
+            if p.dropout_p > 0.0:
+                keep_d = dropout_keep(seed_ref[0], b, hq0 + hh, rows, cols,
+                                      p.dropout_p)
+                pmat = jnp.where(keep_d, pmat, 0.0) * (
+                    1.0 / (1.0 - p.dropout_p))
+            pv = jax.lax.dot_general(
+                pmat.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[hh] = acc_ref[hh] * alpha + pv
 
     # Compute-subtile loop (statically unrolled so Mosaic can software-
     # pipeline the MXU): the major tile is DMA'd whole; masked-out subtiles
@@ -295,32 +315,33 @@ def _fwd_kernel(p: FwdParams, sq_ref, sk_ref, *refs):
 
     @pl.when(ki == nk - 1)
     def _finalize():
-        l_final = l_ref[:, :1]
-        m_final = m_ref[:, :1]
-        acc = acc_ref[...]
-        if p.has_sinks:
-            # One more online-softmax step against a virtual single-logit
-            # "block" that contributes no value (denominator only).
-            sink = sinks_ref[hq]  # natural scaled-logit units
-            sink_k = sink * LOG2E if not generic else sink
-            cc = 1.0 if not generic else LOG2E
-            m_eff = jnp.maximum(m_final, sink_k)
-            alpha = jnp.exp2((m_final - m_eff) * cc)
-            sink_p = jnp.exp2((sink_k - m_eff) * cc)
-            acc = acc * alpha
-            l_final = l_final * alpha + sink_p
-            m_final = m_eff
-        empty = l_final == 0.0
-        l_safe = jnp.where(empty, 1.0, l_final)
-        if p.fp8:
-            acc = acc * vd_ref[b, hq // p.g]
-        o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
-        # m is in scale*log2(e) units on the fast path (Q pre-scaled);
-        # rescale for the natural-log LSE.  Reference writes +inf LSE for
-        # fully-masked rows (`softmax.h:170` normalize_softmax_lse).
-        m_nat = m_final if generic else m_final / LOG2E
-        lse = jnp.where(empty, jnp.inf, m_nat + jnp.log(l_safe))
-        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+        for hh in range(HB):
+            l_final = l_ref[hh, :, :1]
+            m_final = m_ref[hh, :, :1]
+            acc = acc_ref[hh]
+            if p.has_sinks:
+                # One more online-softmax step against a virtual single-
+                # logit "block" that contributes no value (denominator only).
+                sink = sinks_ref[hq0 + hh]  # natural scaled-logit units
+                sink_k = sink * LOG2E if not generic else sink
+                cc = 1.0 if not generic else LOG2E
+                m_eff = jnp.maximum(m_final, sink_k)
+                alpha = jnp.exp2((m_final - m_eff) * cc)
+                sink_p = jnp.exp2((sink_k - m_eff) * cc)
+                acc = acc * alpha
+                l_final = l_final * alpha + sink_p
+                m_final = m_eff
+            empty = l_final == 0.0
+            l_safe = jnp.where(empty, 1.0, l_final)
+            if p.fp8:
+                acc = acc * vd_ref[b, (hq0 + hh) // p.g]
+            o_ref[0, hh] = (acc / l_safe).astype(o_ref.dtype)
+            # m is in scale*log2(e) units on the fast path (Q pre-scaled);
+            # rescale for the natural-log LSE.  Reference writes +inf LSE
+            # for fully-masked rows (`softmax.h:170` normalize_softmax_lse).
+            m_nat = m_final if generic else m_final / LOG2E
+            lse = jnp.where(empty, jnp.inf, m_nat + jnp.log(l_safe))
+            lse_ref[0, hh] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
 def flash_attn_fwd_bhsd(
@@ -379,6 +400,22 @@ def flash_attn_fwd_bhsd(
         bks = bk
     sq_p = round_up(max(sq, bq), bq)
     sk_p = round_up(max(sk, bk), bk)
+
+    # head blocking: the shorter the sequences, the more heads per step
+    work = sq_p * sk_p
+    if work >= 2048 * 4096:
+        bh = 1
+    elif work >= 1024 * 2048:
+        bh = 2
+    elif work >= 512 * 1024:
+        bh = 4
+    else:
+        bh = 8
+    limit = h if g == 1 else g  # a block must live within one kv group
+    bh = min(bh, limit)
+    while limit % bh:
+        bh -= 1
+    hbk = bh if g == 1 else 1
     if sq_p != sq:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
     if sk_p != sk:
@@ -403,6 +440,8 @@ def flash_attn_fwd_bhsd(
         has_sinks=sinks is not None,
         dropout_p=float(dropout_p),
         attention_chunk=int(attention_chunk),
+        block_h=bh,
+        hbk=hbk,
     )
 
     if not (p.softcap > 0.0 or p.has_alibi) and not fp8:
@@ -411,25 +450,28 @@ def flash_attn_fwd_bhsd(
         # as the input's own low-precision error.
         q = (q.astype(jnp.float32) * (p.scale * LOG2E)).astype(q.dtype)
 
-    def q_map(b_, h_, qi, ki, sq_ref, sk_ref):
-        return (b_, h_, qi, 0)
+    def q_map(b_, hb_, qi, ki, sq_ref, sk_ref):
+        return (b_, hb_, qi, 0)
 
-    def kv_map(b_, h_, qi, ki, sq_ref, sk_ref):
+    def kv_map(b_, hb_, qi, ki, sq_ref, sk_ref):
         min_ki, max_ki = _kv_block_bounds(p, qi, sq_ref[b_], sk_ref[b_])
         ki_eff = jnp.clip(ki, jnp.maximum(min_ki, 0), jnp.maximum(max_ki, 0))
         ki_eff = jnp.clip(ki_eff, 0, nk - 1)
-        return (b_, h_ // g, ki_eff, 0)
+        if g == 1:
+            # MHA: kv head block aligns with the q head block
+            return (b_, hb_, ki_eff, 0)
+        # GQA: the whole q-head block shares one kv head
+        return (b_, (hb_ * bh) // g, ki_eff, 0)
 
-    def out_map(b_, h_, qi, ki, sq_ref, sk_ref):
-        return (b_, h_, qi, 0)
+    def out_map(b_, hb_, qi, ki, sq_ref, sk_ref):
+        return (b_, hb_, qi, 0)
 
-    def lse_map(b_, h_, qi, ki, sq_ref, sk_ref):
-        return (b_, h_, qi, 0)
+    lse_map = out_map
 
     in_specs = [
-        pl.BlockSpec((1, 1, bq, d), q_map),
-        pl.BlockSpec((1, 1, bk, d), kv_map),
-        pl.BlockSpec((1, 1, bk, dv), kv_map),
+        pl.BlockSpec((1, bh, bq, d), q_map),
+        pl.BlockSpec((1, hbk, bk, d), kv_map),
+        pl.BlockSpec((1, hbk, bk, dv), kv_map),
     ]
     inputs = [q, k, v]
     if alibi_slopes is not None:
@@ -461,18 +503,18 @@ def flash_attn_fwd_bhsd(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, h, nq, nk),
+        grid=(b, h // bh, nq, nk),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, bq, dv), out_map),
+            pl.BlockSpec((1, bh, bq, dv), out_map),
             # LSE is lane-replicated to a (…, 128) trailing dim: TPU block
             # shapes need the last dim tiled; the wrapper strips it.
-            pl.BlockSpec((1, 1, bq, LANES), lse_map),
+            pl.BlockSpec((1, bh, bq, LANES), lse_map),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bq, dv), jnp.float32),
-            pltpu.VMEM((bq, LANES), jnp.float32),
-            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bh, bq, dv), jnp.float32),
+            pltpu.VMEM((bh, bq, LANES), jnp.float32),
+            pltpu.VMEM((bh, bq, LANES), jnp.float32),
         ],
     )
 
