@@ -222,17 +222,19 @@ def _aux_args(has_aux, qa_ref, ka_ref, bq, bk):
 
 
 def _flex_fwd_kernel(
-    scale, score_mod, mask_mod, g, bq, bk, sk_real, has_aux,
+    scale, score_mod, mask_mod, g, bq, bk, sk_real, has_aux, has_bias,
     kvn_ref, kvi_ref, fn_ref, fi_ref,
     *refs,
 ):
+    refs = list(refs)
+    q_ref, k_ref, v_ref = refs[:3]
+    refs = refs[3:]
     if has_aux:
-        q_ref, k_ref, v_ref, qa_ref, ka_ref = refs[:5]
-        refs = refs[5:]
+        qa_ref, ka_ref = refs[:2]
+        refs = refs[2:]
     else:
-        q_ref, k_ref, v_ref = refs[:3]
         qa_ref = ka_ref = None
-        refs = refs[3:]
+    bias_ref = refs.pop(0) if has_bias else None
     o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -266,6 +268,8 @@ def _flex_fwd_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         s = s * scale
+        if has_bias:
+            s = s + bias_ref[0, 0].astype(jnp.float32)
         rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         cols = kv_blk * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         if score_mod is not None:
@@ -320,9 +324,19 @@ def _prep_aux(aux, b, s_p, dtype_fallback=jnp.int32):
     return jnp.broadcast_to(aux[..., None], (*aux.shape, STAT_LANES))
 
 
+def _prep_bias(bias, b, h, sq_p, sk_p):
+    """Pad an (b|1, h|1, sq, sk) additive bias to block-multiple dims."""
+    bias = jnp.asarray(bias, jnp.float32)
+    pads = [(0, 0), (0, 0),
+            (0, sq_p - bias.shape[2]), (0, sk_p - bias.shape[3])]
+    if any(p_[1] for p_ in pads):
+        bias = jnp.pad(bias, pads)
+    return bias
+
+
 def _flex_fwd(
     q, k, v, mask: BlockMask, score_mod, mask_mod, scale,
-    q_aux=None, kv_aux=None,
+    q_aux=None, kv_aux=None, bias=None,
 ):
     b, h, sq, d = q.shape
     _, hk, sk, _ = k.shape
@@ -376,9 +390,21 @@ def _flex_fwd(
             lambda b_, h_, qi, ki, *r: (b_, kv_blk_of(b_, h_, qi, ki, *r), 0),
         ))
         inputs += [qa, ka]
+    has_bias = bias is not None
+    if has_bias:
+        bias = _prep_bias(bias, b, h, sq_p, sk_p)
+        bb, bh_ = bias.shape[:2]
+        in_specs.append(pl.BlockSpec(
+            (1, 1, bq, bk),
+            lambda b_, h_, qi, ki, *r, bb=bb, bh_=bh_: (
+                jnp.minimum(b_, bb - 1), jnp.minimum(h_, bh_ - 1), qi,
+                kv_blk_of(b_, h_, qi, ki, *r)),
+        ))
+        inputs.append(bias)
 
     kernel = functools.partial(
-        _flex_fwd_kernel, scale, score_mod, mask_mod, g, bq, bk, sk, has_aux,
+        _flex_fwd_kernel, scale, score_mod, mask_mod, g, bq, bk, sk,
+        has_aux, has_bias,
     )
     o, lse = pl.pallas_call(
         kernel,
@@ -415,25 +441,30 @@ def _flex_fwd(
 # ---------------------------------------------------------------------------
 
 
-def _mod_score(scale, score_mod, s, b, h, rows, cols, aux):
+def _mod_score(scale, score_mod, s, b, h, rows, cols, aux, bias_blk=None):
     s = s * scale
+    if bias_blk is not None:
+        s = s + bias_blk
     if score_mod is not None:
         s = score_mod(s, b, h, rows, cols, *aux)
     return s
 
 
 def _flex_bwd_dq_kernel(
-    scale, score_mod, mask_mod, g, bq, bk, sk_real, has_aux,
+    scale, score_mod, mask_mod, g, bq, bk, sk_real, has_aux, has_bias,
     kvn_ref, kvi_ref, fn_ref, fi_ref,
     *refs,
 ):
+    refs = list(refs)
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = refs[:6]
+    refs = refs[6:]
     if has_aux:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qa_ref, ka_ref,
-         dq_ref, dq_acc) = refs
+        qa_ref, ka_ref = refs[:2]
+        refs = refs[2:]
     else:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-         dq_ref, dq_acc) = refs
         qa_ref = ka_ref = None
+    bias_ref = refs.pop(0) if has_bias else None
+    dq_ref, dq_acc = refs
     b = pl.program_id(0)
     h = pl.program_id(1)
     qi = pl.program_id(2)
@@ -467,8 +498,10 @@ def _flex_bwd_dq_kernel(
         s_raw = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        bias_blk = bias_ref[0, 0].astype(jnp.float32) if has_bias else None
         s, mod_vjp = jax.vjp(
-            lambda t: _mod_score(scale, score_mod, t, b, h, rows, cols, aux),
+            lambda t: _mod_score(scale, score_mod, t, b, h, rows, cols, aux,
+                                 bias_blk),
             s_raw,
         )
         if masked:
@@ -501,17 +534,20 @@ def _flex_bwd_dq_kernel(
 
 
 def _flex_bwd_dkv_kernel(
-    scale, score_mod, mask_mod, g, bq, bk, sk_real, has_aux,
+    scale, score_mod, mask_mod, g, bq, bk, sk_real, has_aux, has_bias,
     qn_ref, qi_ref, fqn_ref, fqi_ref,
     *refs,
 ):
+    refs = list(refs)
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = refs[:6]
+    refs = refs[6:]
     if has_aux:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qa_ref, ka_ref,
-         dk_ref, dv_ref, dk_acc, dv_acc) = refs
+        qa_ref, ka_ref = refs[:2]
+        refs = refs[2:]
     else:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-         dk_ref, dv_ref, dk_acc, dv_acc) = refs
         qa_ref = ka_ref = None
+    bias_ref = refs.pop(0) if has_bias else None
+    dk_ref, dv_ref, dk_acc, dv_acc = refs
     b = pl.program_id(0)
     hk_i = pl.program_id(1)
     ki = pl.program_id(2)
@@ -551,8 +587,10 @@ def _flex_bwd_dkv_kernel(
         s_raw = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        bias_blk = bias_ref[0, 0].astype(jnp.float32) if has_bias else None
         s, mod_vjp = jax.vjp(
-            lambda t_: _mod_score(scale, score_mod, t_, b, h, rows, cols, aux),
+            lambda t_: _mod_score(scale, score_mod, t_, b, h, rows, cols,
+                                  aux, bias_blk),
             s_raw,
         )
         if masked:
@@ -591,7 +629,7 @@ def _flex_bwd_dkv_kernel(
 
 def _flex_bwd(
     do, q, k, v, o, lse, mask: BlockMask, score_mod, mask_mod, scale,
-    q_aux=None, kv_aux=None,
+    q_aux=None, kv_aux=None, bias=None,
 ):
     b, h, sq, d = q.shape
     _, hk, sk, _ = k.shape
@@ -650,6 +688,10 @@ def _flex_bwd(
         pl.BlockSpec((1, 1, bq, STAT_LANES), q_map),
     ]
     inputs = [q, k, v, do, lse_r, delta_r]
+    has_bias = bias is not None
+    if has_bias:
+        bias = _prep_bias(bias, b, h, sq_p, sk_p)
+        bb, bh_ = bias.shape[:2]
     if has_aux:
         in_specs.append(pl.BlockSpec(
             (1, bq, STAT_LANES), lambda b_, h_, qi, ki, *r: (b_, qi, 0)))
@@ -658,11 +700,19 @@ def _flex_bwd(
             lambda b_, h_, qi, ki, *r: (b_, kv_blk_of(b_, h_, qi, ki, *r), 0),
         ))
         inputs += [qa, ka]
+    if has_bias:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, bq, bk),
+            lambda b_, h_, qi, ki, *r: (
+                jnp.minimum(b_, bb - 1), jnp.minimum(h_, bh_ - 1), qi,
+                kv_blk_of(b_, h_, qi, ki, *r)),
+        ))
+        inputs.append(bias)
 
     dq = pl.pallas_call(
         functools.partial(
             _flex_bwd_dq_kernel, scale, score_mod, mask_mod, g, bq, bk, sk,
-            has_aux,
+            has_aux, has_bias,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
@@ -717,11 +767,18 @@ def _flex_bwd(
         in_specs2.append(pl.BlockSpec(
             (1, bk, STAT_LANES), lambda b_, hk_, ki, t, *r: (b_, ki, 0)))
         inputs2 += [qa, ka]
+    if has_bias:
+        def bias_map2(b_, hk_, ki, t, *r):
+            h_, blk = q_blk_of(b_, hk_, ki, t, *r)
+            return (jnp.minimum(b_, bb - 1), jnp.minimum(h_, bh_ - 1),
+                    blk, ki)
+        in_specs2.append(pl.BlockSpec((1, 1, bq, bk), bias_map2))
+        inputs2.append(bias)
 
     dk, dv = pl.pallas_call(
         functools.partial(
             _flex_bwd_dkv_kernel, scale, score_mod, mask_mod, g, bq, bk, sk,
-            has_aux,
+            has_aux, has_bias,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
@@ -765,6 +822,7 @@ def flex_attention(
     softmax_scale: Optional[float] = None,
     q_aux=None,
     kv_aux=None,
+    attn_bias=None,
     block_q: int = 512,
     block_k: int = 512,
     return_lse: bool = False,
@@ -786,6 +844,11 @@ def flex_attention(
     q-aux column and the (1, block_k) kv-aux row, e.g.
     ``lambda b, h, qi, ki, qa, ka: qa == ka`` for document masking.
     Gradients do not flow into aux arrays.
+
+    `attn_bias`: additive (b|1, h|1, sq, sk) score bias streamed block-wise
+    (the role of the legacy Triton FA's bias support,
+    `flash_attn/flash_attn_triton.py`); applied after scaling, before the
+    mods.  Gradients flow to q/k/v but not (yet) to the bias.
     """
     b, sq, h, d = q.shape
     sk = k.shape[1]
@@ -799,18 +862,22 @@ def flex_attention(
     qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
     has_qa = q_aux is not None
     has_ka = kv_aux is not None
+    has_bias = attn_bias is not None
     aux_list = [x for x in (q_aux, kv_aux) if x is not None]
+    if has_bias:
+        aux_list.append(jnp.asarray(attn_bias))
 
     def unpack_aux(auxes):
         it = iter(auxes)
         return (next(it) if has_qa else None,
-                next(it) if has_ka else None)
+                next(it) if has_ka else None,
+                next(it) if has_bias else None)
 
     @jax.custom_vjp
     def core(qt, kt, vt, bm, *auxes):
-        qa, ka = unpack_aux(auxes)
+        qa, ka, bias = unpack_aux(auxes)
         return _flex_fwd(qt, kt, vt, bm, score_mod, mask_mod, scale,
-                         q_aux=qa, kv_aux=ka)
+                         q_aux=qa, kv_aux=ka, bias=bias)
 
     def core_fwd(qt, kt, vt, bm, *auxes):
         o, lse = core(qt, kt, vt, bm, *auxes)
@@ -821,10 +888,10 @@ def flex_attention(
 
         do, _dlse = cts
         qt, kt, vt, o, lse, bm, auxes = res
-        qa, ka = unpack_aux(auxes)
+        qa, ka, bias = unpack_aux(auxes)
         dq, dk, dv = _flex_bwd(
             do, qt, kt, vt, o, lse, bm, score_mod, mask_mod, scale,
-            q_aux=qa, kv_aux=ka,
+            q_aux=qa, kv_aux=ka, bias=bias,
         )
 
         def zero_ct(x):

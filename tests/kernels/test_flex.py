@@ -258,3 +258,52 @@ def test_blocksparse_module():
     out1 = flash_blocksparse_attn_func(qkv, bmask_j, causal=True,
                                        block_q=128, block_k=128)
     assert jnp.array_equal(out1, out2)
+
+
+def test_flex_attn_bias_tensor():
+    """Full additive bias tensor (legacy Triton-FA bias role,
+    `flash_attn/flash_attn_triton.py`), fwd + grads."""
+    b, h, sq, sk, d = 2, 2, 192, 256, 64
+    q, k, v = make_qkv(b, sq, sk, h, h, d, seed=21)
+    rng = np.random.default_rng(22)
+    bias = jnp.asarray(rng.standard_normal((b, h, sq, sk)) * 0.5, jnp.float32)
+
+    out = flex_attention(q, k, v, attn_bias=bias, block_q=128, block_k=128)
+    out_ref, _ = attention_ref(q, k, v, attn_bias=bias)
+    out_pt, _ = attention_ref(q, k, v, attn_bias=bias, upcast=False,
+                              reorder_ops=True)
+    check_close(out, out_ref, out_pt)
+
+    # broadcast head dim
+    bias1 = bias[:, :1]
+    out = flex_attention(q, k, v, attn_bias=bias1, block_q=128, block_k=128)
+    out_ref, _ = attention_ref(q, k, v, attn_bias=bias1)
+    out_pt, _ = attention_ref(q, k, v, attn_bias=bias1, upcast=False,
+                              reorder_ops=True)
+    check_close(out, out_ref, out_pt)
+
+    # grads (bias combined with mask_mod + sparsity)
+    def cm(b_, h_, qi, ki):
+        return qi >= ki - (sk - sq)
+
+    bm = create_block_mask(cm, b, h, sq, sk, block_q=128, block_k=128)
+    g = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.bfloat16)
+
+    def lf(q, k, v):
+        o = flex_attention(q, k, v, attn_bias=bias, mask_mod=cm,
+                           block_mask=bm)
+        return jnp.sum(o.astype(jnp.float32) * g.astype(jnp.float32))
+
+    def lr(q, k, v, up=True, ro=False):
+        qi = jnp.arange(sq)[:, None]
+        ki = jnp.arange(sk)[None, :]
+        full_bias = jnp.where(qi >= ki - (sk - sq), bias, -jnp.inf)
+        o = attention_ref(q, k, v, attn_bias=full_bias, upcast=up,
+                          reorder_ops=ro)[0]
+        return jnp.sum(o.astype(jnp.float32) * g.astype(jnp.float32))
+
+    df = jax.grad(lf, (0, 1, 2))(q, k, v)
+    dr = jax.grad(lr, (0, 1, 2))(q, k, v)
+    dp = jax.grad(functools.partial(lr, up=False, ro=True), (0, 1, 2))(q, k, v)
+    for a, r, pt in zip(df, dr, dp):
+        check_close(a, r, pt)
