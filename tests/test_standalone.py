@@ -102,3 +102,37 @@ def test_kernel_dump_check(binary, tmp_path):
                        capture_output=True, text=True)
     assert r.returncode == 0
     assert "max|o_a - o_b|" in r.stdout
+
+
+def test_native_loader_deterministic(tmp_path):
+    """C++ loader: full coverage, deterministic (seed, epoch) order,
+    (epoch, batch) resume parity."""
+    from flash_attn_tpu.training.native_loader import NativeLMLoader
+
+    rng = np.random.default_rng(0)
+    toks = rng.integers(0, 1000, 4096, dtype=np.uint16)
+    p1 = tmp_path / "a.bin"
+    p2 = tmp_path / "b.bin"
+    toks[:2048].tofile(p1)
+    toks[2048:].tofile(p2)
+
+    def run(start=0):
+        L = NativeLMLoader([p1, p2], seq_len=63, batch_size=4, seed=7,
+                           start_batch=start)
+        got = dict(iter(L))
+        L.close()
+        return got
+
+    a = run()
+    b = run()
+    assert set(a) == set(b) == set(range(16))  # 4096//64=64 ex / 4 = 16
+    for i in a:
+        np.testing.assert_array_equal(a[i], b[i])
+        # batch content comes from the mmap'd stream
+        assert a[i].min() >= 0 and a[i].max() < 1000
+
+    # resume mid-epoch: same content for the remaining batches
+    c = run(start=10)
+    assert set(c) == set(range(10, 16))
+    for i in c:
+        np.testing.assert_array_equal(c[i], a[i])
