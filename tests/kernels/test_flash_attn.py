@@ -566,3 +566,48 @@ def test_flash_attn_sinks_grad():
         err = float(jnp.abs(a.astype(jnp.float32) - r.astype(jnp.float32)).max())
         scale = float(jnp.abs(r.astype(jnp.float32)).max()) + 1e-6
         assert err / scale < 0.05, (name, err, scale)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attn_varlen_packed(causal):
+    """True-packed varlen (no padding/gather) must match the padded varlen
+    path and the oracle (reference `block_info.h:13` role)."""
+    from flash_attn_tpu.kernels.varlen_packed import (
+        flash_attn_varlen_packed_func,
+    )
+
+    b, h, hk, sq, sk, d = 3, 4, 2, 130, 171, 64
+    q, k, v = make_qkv(b, sq, sk, h, hk, d, jnp.bfloat16, seed=31)
+    rng = np.random.default_rng(32)
+    query_padding_mask = generate_random_padding_mask(sq, b, mode="random", rng=rng)
+    key_padding_mask = generate_random_padding_mask(sk, b, mode="random", rng=rng)
+    (
+        q_unpad, k_unpad, v_unpad, cu_q, cu_k, seqused_q, seqused_k,
+        max_sq, max_sk, output_pad_fn,
+    ) = generate_qkv(q, k, v, query_padding_mask, key_padding_mask)
+
+    out_unpad = flash_attn_varlen_packed_func(
+        q_unpad, k_unpad, v_unpad, cu_q, cu_k, causal=causal,
+        block_q=128, block_k=128,
+    )
+    out = output_pad_fn(out_unpad)
+    out_ref, _ = attention_ref(
+        q, k, v, query_padding_mask, key_padding_mask, causal=causal
+    )
+    out_pt, _ = attention_ref(
+        q, k, v, query_padding_mask, key_padding_mask, causal=causal,
+        upcast=False, reorder_ops=True,
+    )
+    check_close(out, out_ref, out_pt)
+
+    # grads flow through the packed path
+    g = jnp.asarray(rng.standard_normal(q_unpad.shape), q_unpad.dtype)
+
+    def lf(qu, ku, vu):
+        o = flash_attn_varlen_packed_func(
+            qu, ku, vu, cu_q, cu_k, causal=causal, block_q=128, block_k=128)
+        return jnp.sum(o.astype(jnp.float32) * g.astype(jnp.float32))
+
+    dq, dk, dv = jax.grad(lf, (0, 1, 2))(q_unpad, k_unpad, v_unpad)
+    assert all(bool(jnp.all(jnp.isfinite(x.astype(jnp.float32))))
+               for x in (dq, dk, dv))
