@@ -213,11 +213,15 @@ def _dense_block_mask(B, H, q_len, kv_len, block_q, block_k, has_mask):
 
 def _aux_args(has_aux, qa_ref, ka_ref, bq, bk):
     """Blocked aux views handed to the mods: (bq, 1) q-aux column and
-    (1, bk) kv-aux row — `qa == ka` broadcasts to the score tile."""
+    (1, bk) kv-aux row — `qa == ka` broadcasts to the score tile.
+
+    The kv aux is streamed pre-transposed as (b, nk, 8, bk) rows so the
+    kernel never pays a sublane->lane relayout (measured ~30x slowdown
+    when reshaping a (bk, 1) column per grid step)."""
     if not has_aux:
         return ()
     qa = qa_ref[0, :, :1] if qa_ref is not None else None
-    ka = ka_ref[0, :, :1].reshape(1, bk) if ka_ref is not None else None
+    ka = ka_ref[0, 0, :1, :] if ka_ref is not None else None  # (1, bk)
     return (qa, ka)
 
 
@@ -324,6 +328,18 @@ def _prep_aux(aux, b, s_p, dtype_fallback=jnp.int32):
     return jnp.broadcast_to(aux[..., None], (*aux.shape, STAT_LANES))
 
 
+def _prep_aux_kv(aux, b, s_p, bk):
+    """(b, s) kv aux -> (b, nk, 8, bk) row blocks (lane-major, so the
+    kernel reads a ready (1, bk) row with no relayout)."""
+    if aux is None:
+        return None
+    aux = jnp.asarray(aux)
+    if aux.shape[1] != s_p:
+        aux = jnp.pad(aux, ((0, 0), (0, s_p - aux.shape[1])))
+    rows = aux.reshape(b, s_p // bk, 1, bk)
+    return jnp.broadcast_to(rows, (b, s_p // bk, 8, bk))
+
+
 def _prep_bias(bias, b, h, sq_p, sk_p):
     """Pad an (b|1, h|1, sq, sk) additive bias to block-multiple dims."""
     bias = jnp.asarray(bias, jnp.float32)
@@ -353,12 +369,12 @@ def _flex_fwd(
     nk = sk_p // bk
     has_aux = q_aux is not None or kv_aux is not None
     qa = _prep_aux(q_aux, b, sq_p)
-    ka = _prep_aux(kv_aux, b, sk_p)
+    ka = _prep_aux_kv(kv_aux, b, sk_p, bk)
     if has_aux:
         if qa is None:
             qa = jnp.zeros((b, sq_p, STAT_LANES), jnp.int32)
         if ka is None:
-            ka = jnp.zeros((b, sk_p, STAT_LANES), jnp.int32)
+            ka = jnp.zeros((b, sk_p // bk, 8, bk), jnp.int32)
 
     def q_map(b_, h_, qi, ki, *refs):
         return (b_, h_, qi, 0)
@@ -386,8 +402,9 @@ def _flex_fwd(
         in_specs.append(pl.BlockSpec(
             (1, bq, STAT_LANES), lambda b_, h_, qi, ki, *r: (b_, qi, 0)))
         in_specs.append(pl.BlockSpec(
-            (1, bk, STAT_LANES),
-            lambda b_, h_, qi, ki, *r: (b_, kv_blk_of(b_, h_, qi, ki, *r), 0),
+            (1, 1, 8, bk),
+            lambda b_, h_, qi, ki, *r: (
+                b_, kv_blk_of(b_, h_, qi, ki, *r), 0, 0),
         ))
         inputs += [qa, ka]
     has_bias = bias is not None
@@ -428,7 +445,7 @@ def _flex_fwd(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=use_interpret(),
     )(mask.kv_num, mask.kv_idx, mask.full_kv_num, mask.full_kv_idx, *inputs)
@@ -640,12 +657,12 @@ def _flex_bwd(
     nq, nk = sq_p // bq, sk_p // bk
     has_aux = q_aux is not None or kv_aux is not None
     qa = _prep_aux(q_aux, b, sq_p)
-    ka = _prep_aux(kv_aux, b, sk_p)
+    ka = _prep_aux_kv(kv_aux, b, sk_p, bk)
     if has_aux:
         if qa is None:
             qa = jnp.zeros((b, sq_p, STAT_LANES), jnp.int32)
         if ka is None:
-            ka = jnp.zeros((b, sk_p, STAT_LANES), jnp.int32)
+            ka = jnp.zeros((b, sk_p // bk, 8, bk), jnp.int32)
 
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
 
@@ -696,8 +713,9 @@ def _flex_bwd(
         in_specs.append(pl.BlockSpec(
             (1, bq, STAT_LANES), lambda b_, h_, qi, ki, *r: (b_, qi, 0)))
         in_specs.append(pl.BlockSpec(
-            (1, bk, STAT_LANES),
-            lambda b_, h_, qi, ki, *r: (b_, kv_blk_of(b_, h_, qi, ki, *r), 0),
+            (1, 1, 8, bk),
+            lambda b_, h_, qi, ki, *r: (
+                b_, kv_blk_of(b_, h_, qi, ki, *r), 0, 0),
         ))
         inputs += [qa, ka]
     if has_bias:
@@ -724,7 +742,7 @@ def _flex_bwd(
         out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=use_interpret(),
     )(mask.kv_num, mask.kv_idx, mask.full_kv_num, mask.full_kv_idx, *inputs)
@@ -765,7 +783,7 @@ def _flex_bwd(
             lambda b_, hk_, ki, t, *r: (b_, q_blk_of(b_, hk_, ki, t, *r)[1], 0),
         ))
         in_specs2.append(pl.BlockSpec(
-            (1, bk, STAT_LANES), lambda b_, hk_, ki, t, *r: (b_, ki, 0)))
+            (1, 1, 8, bk), lambda b_, hk_, ki, t, *r: (b_, ki, 0, 0)))
         inputs2 += [qa, ka]
     if has_bias:
         def bias_map2(b_, hk_, ki, t, *r):
@@ -799,7 +817,7 @@ def _flex_bwd(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=use_interpret(),
     )(mask.q_num, mask.q_idx, mask.full_q_num, mask.full_q_idx, *inputs2)
