@@ -23,6 +23,7 @@ from flash_attn_tpu.kernels.flex import (
     create_block_mask,
     flex_attention,
 )
+from flash_attn_tpu.kernels.varlen_packed import flash_attn_varlen_packed_func
 
 __all__ = [
     "__version__",
@@ -36,4 +37,5 @@ __all__ = [
     "BlockMask",
     "create_block_mask",
     "flex_attention",
+    "flash_attn_varlen_packed_func",
 ]
