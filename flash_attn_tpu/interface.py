@@ -316,6 +316,23 @@ def flash_attn_varlen_func(
     b = cu_seqlens_q.shape[0] - 1
     if softmax_scale is None:
         softmax_scale = 1.0 / math.sqrt(d)
+    # Heavily ragged batches route to the packed block-sparse path (tokens
+    # never padded; cross-sequence blocks skipped) — measured 3.6x on a
+    # 1x8k+31x256 prefill.  Near-uniform batches keep the padded path (the
+    # dense kernel is ~2.5x faster per tile than the flex kernel).
+    simple = (dropout_p == 0.0 and softcap == 0.0 and alibi_slopes is None
+              and seqused_q is None and seqused_k is None
+              and not return_attn_probs)
+    if simple and b * max_seqlen_q >= 2 * q.shape[0] and b > 1:
+        from flash_attn_tpu.kernels.varlen_packed import (
+            flash_attn_varlen_packed_func,
+        )
+
+        return flash_attn_varlen_packed_func(
+            q, k, v, cu_seqlens_q, cu_seqlens_k,
+            softmax_scale=float(softmax_scale), causal=causal,
+            window_size=window_size,
+        )
     lens_q = cu_seqlens_q[1:] - cu_seqlens_q[:-1]
     lens_k = cu_seqlens_k[1:] - cu_seqlens_k[:-1]
     used_q = lens_q if seqused_q is None else jnp.asarray(seqused_q, jnp.int32)
