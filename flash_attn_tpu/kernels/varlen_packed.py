@@ -158,8 +158,8 @@ def flash_attn_varlen_packed_func(
     softmax_scale=None,
     causal: bool = False,
     window_size=(-1, -1),
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 1024,
+    block_k: int = 1024,
 ):
     """True packed varlen attention: q (total_q, h, d), k/v (total_k, hk, d).
 
