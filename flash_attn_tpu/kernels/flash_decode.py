@@ -59,6 +59,9 @@ class DecodeParams:
     blocks_per_split: int
     paged: bool
     attention_chunk: int = 0
+    # FP8 (e4m3) KV cache with per-(batch, kv-head) descale — quantised-
+    # cache decode (FA3 FP8 semantics, `hopper/flash_api.cpp:694-696`).
+    fp8_kv: bool = False
     # KV tiles DMA'd per grid step: small pages are bundled so each step
     # streams >= ~512 rows (measured on v5e: 256-row DMAs leave >3x HBM
     # bandwidth on the table; the bundle is the Pallas analogue of the
@@ -376,14 +379,17 @@ def _decode_ref_kernel(p: DecodeParams, hk: int, *args):
         lens_ref, leftpad_ref, cbi_ref = args[:3]
         rest = args[3:]
     F = p.bundle
+    rest = list(rest)
     q_ref = rest[0]
     k_refs = rest[1:1 + F]
     v_refs = rest[1 + F:1 + 2 * F]
     rest = rest[1 + 2 * F:]
-    if p.has_alibi:
-        slopes_ref, rest = rest[0], rest[1:]
+    slopes_ref = rest.pop(0) if p.has_alibi else None
+    if p.fp8_kv:
+        kd_ref, vd_ref = rest[:2]
+        rest = rest[2:]
     else:
-        slopes_ref = None
+        kd_ref = vd_ref = None
     o_ref, lse_ref, acc_ref, m_ref, l_ref = rest
 
     b = pl.program_id(0)
@@ -432,11 +438,14 @@ def _decode_ref_kernel(p: DecodeParams, hk: int, *args):
             # (d is a multiple of the 128-lane tile)
             k = k_ref[0, :, h * d:(h + 1) * d]   # (bk, d)
             v = v_ref[0, :, h * dv:(h + 1) * dv]
+            if p.fp8_kv:
+                k = k.astype(jnp.bfloat16)
+                v = v.astype(jnp.bfloat16)
             st = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            st = st * p.scale
+            st = st * (p.scale * kd_ref[b, h] if p.fp8_kv else p.scale)
             if p.softcap > 0.0:
                 st = jnp.tanh(st / p.softcap) * p.softcap
             if p.has_alibi:
@@ -458,10 +467,13 @@ def _decode_ref_kernel(p: DecodeParams, hk: int, *args):
             l_curr = l_prev * alpha + jnp.sum(pmat, axis=1, keepdims=True)
             m_ref[h] = jnp.broadcast_to(m_curr, m_ref.shape[1:])
             l_ref[h] = jnp.broadcast_to(l_curr, l_ref.shape[1:])
-            acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
+            pv = jax.lax.dot_general(
                 pmat.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            if p.fp8_kv:
+                pv = pv * vd_ref[b, h]
+            acc_ref[h] = acc_ref[h] * alpha + pv
 
     for j in range(F):
         kg_j = (s * bps + ki) * F + j
@@ -499,6 +511,8 @@ def decode_attn_ref_layout(
     num_splits: int = 1,
     block_k: int = 512,
     attention_chunk: int = 0,
+    k_descale=None,
+    v_descale=None,
 ):
     """Split-KV decode on reference-layout caches (no transposes).
 
@@ -566,6 +580,8 @@ def decode_attn_ref_layout(
         paged=paged,
         bundle=bundle,
         attention_chunk=int(attention_chunk),
+        fp8_kv=bool(jnp.issubdtype(k_cache.dtype, jnp.floating)
+                    and k_cache.dtype.itemsize == 1),
     )
 
     lens = jnp.asarray(cache_seqlens, jnp.int32)
@@ -619,6 +635,16 @@ def decode_attn_ref_layout(
         )
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(slopes)
+    if p.fp8_kv:
+        for ds in (k_descale, v_descale):
+            ds = jnp.ones((b, hk), jnp.float32) if ds is None else (
+                jnp.broadcast_to(
+                    jnp.asarray(ds, jnp.float32).reshape(-1, hk), (b, hk))
+            )
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            inputs.append(ds)
+        if use_pipe:
+            use_pipe = False  # pipe kernel has no descale path yet
 
     def o_map(b_, s_, ki, *refs):
         return (b_, s_, 0, 0, 0)
@@ -892,6 +918,8 @@ def flash_attn_with_kvcache(
     alibi_slopes=None,
     num_splits=0,
     attention_chunk=0,
+    k_descale=None,
+    v_descale=None,
     return_softmax_lse=False,
     return_updated_cache=False,
 ):
@@ -933,6 +961,13 @@ def flash_attn_with_kvcache(
             pass  # single token: position is just the cache length
         q = _apply_rotary(q, rotary_cos, rotary_sin, q_pos, rotary_interleaved)
 
+    fp8_cache = (jnp.issubdtype(k_cache.dtype, jnp.floating)
+                 and k_cache.dtype.itemsize == 1)
+    if fp8_cache and k is not None:
+        raise NotImplementedError(
+            "appending new tokens into an FP8 KV cache requires the caller "
+            "to quantise them (pass pre-quantised caches without k/v)"
+        )
     new_len = cache_seqlens
     if k is not None:
         snew = k.shape[1]
@@ -974,6 +1009,8 @@ def flash_attn_with_kvcache(
         cache_leftpad=cache_leftpad,
         num_splits=num_splits or 1,
         attention_chunk=attention_chunk,
+        k_descale=k_descale,
+        v_descale=v_descale,
     )
 
     results = (out,)

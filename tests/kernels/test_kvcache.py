@@ -175,3 +175,41 @@ def test_kvcache_leftpad():
                               key_leftpad=leftpad, upcast=False,
                               reorder_ops=True)
     check_close(out, out_ref, out_pt)
+
+
+def test_kvcache_fp8():
+    """FP8 (e4m3) KV-cache decode with per-kv-head descale (quantised-cache
+    serving; FA3 FP8 semantics `hopper/flash_api.cpp:694-696`)."""
+    from flash_attn_tpu import flash_attn_with_kvcache
+
+    b, h, hk, d, cache = 2, 8, 4, 64, 384
+    rng = np.random.default_rng(40)
+    q = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.bfloat16)
+    kc = jnp.asarray(rng.standard_normal((b, cache, hk, d)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((b, cache, hk, d)), jnp.float32)
+    lens = jnp.asarray([cache, cache - 77], jnp.int32)
+
+    # per-kv-head symmetric quantisation
+    def quant(x):
+        amax = jnp.max(jnp.abs(x), axis=(1, 3))  # (b, hk)
+        scale = 448.0 / jnp.maximum(amax, 1e-12)
+        xq = (x * scale[:, None, :, None]).astype(jnp.float8_e4m3fn)
+        return xq, (1.0 / scale).astype(jnp.float32)
+
+    kq, kd = quant(kc)
+    vq, vd = quant(vc)
+
+    out_fp8 = flash_attn_with_kvcache(
+        q, kq, vq, cache_seqlens=lens, causal=True,
+        k_descale=kd, v_descale=vd,
+    )
+    # reference on the dequantised cache
+    kcd = kq.astype(jnp.float32) * kd[:, None, :, None]
+    vcd = vq.astype(jnp.float32) * vd[:, None, :, None]
+    out_ref = flash_attn_with_kvcache(
+        q, kcd.astype(jnp.bfloat16), vcd.astype(jnp.bfloat16),
+        cache_seqlens=lens, causal=True,
+    )
+    err = float(jnp.abs(out_fp8.astype(jnp.float32)
+                        - out_ref.astype(jnp.float32)).max())
+    assert err < 2e-2, err
