@@ -74,7 +74,23 @@ class ServingEngine:
         chunk_steps: int = 8,
         prefill_buckets=(64, 128, 256, 512, 1024),
         rng: Optional[jax.Array] = None,
+        mesh=None,
+        data_axis: str = "data",
     ):
+        # Multi-host serving (the north-star "continuous batching of decode
+        # requests across hosts"): pass a Mesh and the decode batch — every
+        # per-slot array and every layer's KV cache rows — is sharded over
+        # `data_axis` while params stay replicated (or TP-sharded by the
+        # caller).  The jitted chunk then runs SPMD: each host advances its
+        # own slots, with no cross-host traffic in the decode hot loop.
+        self.mesh = mesh
+        self.data_axis = data_axis
+        if mesh is not None:
+            n = mesh.shape[data_axis]
+            if max_batch % n:
+                raise ValueError(
+                    f"max_batch {max_batch} must divide the '{data_axis}' "
+                    f"axis size {n}")
         self.apply_fn = apply_fn
         self.params = params
         self.max_batch = max_batch
@@ -175,11 +191,12 @@ class ServingEngine:
         )
 
         if self.cache is None:
+            def alloc(x):
+                z = jnp.zeros((self.max_batch,) + x.shape[1:], x.dtype)
+                return self._shard_batch(z)
+
             kv_big = {
-                li: tuple(
-                    jnp.zeros((self.max_batch,) + x.shape[1:], x.dtype)
-                    for x in kv
-                )
+                li: tuple(alloc(x) for x in kv)
                 for li, kv in kv_small.items()
             }
             self.cache = InferenceParams(
@@ -210,6 +227,15 @@ class ServingEngine:
         self.last_tokens = self.last_tokens.at[slot].set(tok0)
         req.output.append(tok0)
         self.stats.generated_tokens += 1
+
+    def _shard_batch(self, x):
+        """Place a leading-batch array sharded over the data axis."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P(self.data_axis, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
 
     def _next_rng(self):
         self.rng, sub = jax.random.split(self.rng)
@@ -254,9 +280,11 @@ class ServingEngine:
 
         kv, last, lengths, self.rng, toks = self._decode_chunk_jit(
             self.params, self.cache.key_value_memory_dict,
-            self.last_tokens, self.lengths,
-            jnp.asarray(self.active), self.rng,
-            jnp.asarray(self._top_k), jnp.asarray(self._temp),
+            self._shard_batch(self.last_tokens),
+            self._shard_batch(self.lengths),
+            self._shard_batch(jnp.asarray(self.active)), self.rng,
+            self._shard_batch(jnp.asarray(self._top_k)),
+            self._shard_batch(jnp.asarray(self._temp)),
         )
         self.cache = self.cache.replace(key_value_memory_dict=kv)
         self.last_tokens = last

@@ -77,3 +77,34 @@ def test_engine_eos_stops_early():
     results = eng.run()
     assert results[uid] == cont[:3]
     assert results[uid][-1] == eos
+
+
+def test_serving_over_data_mesh():
+    """Mesh-sharded continuous batching (multi-host analogue on the virtual
+    mesh) must reproduce the single-device engine exactly."""
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs 2 devices")
+
+    model, params = make_model()
+    apply_fn = lambda p, x, ip: model.apply(p, x, inference_params=ip)
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, 311, (n,)).astype(np.int32)
+               for n in (7, 19, 12, 25)]
+
+    def run(mesh=None):
+        eng = ServingEngine(apply_fn, params, max_batch=2, max_seqlen=128,
+                            chunk_steps=4, prefill_buckets=(32,), mesh=mesh)
+        uids = [eng.submit(p_, max_new_tokens=8) for p_ in prompts]
+        results = eng.run()
+        return [results[u] for u in uids]
+
+    ref = run()
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    with mesh:
+        sharded = run(mesh)
+    assert sharded == ref
