@@ -227,7 +227,7 @@ def _aux_args(has_aux, qa_ref, ka_ref, bq, bk):
 
 def _flex_fwd_kernel(
     scale, score_mod, mask_mod, g, bq, bk, sk_real, has_aux, has_bias,
-    kvn_ref, kvi_ref, fn_ref, fi_ref,
+    folded, kvn_ref, kvi_ref, fn_ref, fi_ref,
     *refs,
 ):
     refs = list(refs)
@@ -264,6 +264,10 @@ def _flex_fwd_kernel(
         kvi_ref[b, h, qi, jnp.maximum(kis - n_full, 0)],
     )
 
+    # mask-only fast path: scale*log2(e) folded into Q outside the kernel
+    # (see flash_fwd.py) — exponent is exp2(s - m), no per-element multiply
+    c = 1.0 if folded else LOG2E
+
     def _update(masked):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
@@ -271,7 +275,8 @@ def _flex_fwd_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = s * scale
+        if not folded:
+            s = s * scale
         if has_bias:
             s = s + bias_ref[0, 0].astype(jnp.float32)
         rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
@@ -286,8 +291,8 @@ def _flex_fwd_kernel(
         m_prev = m_ref[:, :1]
         l_prev = l_ref[:, :1]
         m_curr = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp2((m_prev - m_curr) * LOG2E)
-        pmat = jnp.exp2((s - m_curr) * LOG2E)
+        alpha = jnp.exp2((m_prev - m_curr) * c)
+        pmat = jnp.exp2((s - m_curr) * c)
         if masked:
             pmat = jnp.where(keep, pmat, 0.0)
         l_curr = l_prev * alpha + jnp.sum(pmat, axis=1, keepdims=True)
@@ -314,7 +319,8 @@ def _flex_fwd_kernel(
         empty = l_final == 0.0
         l_safe = jnp.where(empty, 1.0, l_final)
         o_ref[0, 0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
-        lse = jnp.where(empty, jnp.inf, m_final + jnp.log(l_safe))
+        m_nat = m_final / LOG2E if folded else m_final
+        lse = jnp.where(empty, jnp.inf, m_nat + jnp.log(l_safe))
         lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
@@ -419,9 +425,14 @@ def _flex_fwd(
         ))
         inputs.append(bias)
 
+    folded = score_mod is None and not has_bias
+    if folded:
+        inputs[0] = (inputs[0].astype(jnp.float32) * (scale * LOG2E)
+                     ).astype(inputs[0].dtype)
+
     kernel = functools.partial(
         _flex_fwd_kernel, scale, score_mod, mask_mod, g, bq, bk, sk,
-        has_aux, has_bias,
+        has_aux, has_bias, folded,
     )
     o, lse = pl.pallas_call(
         kernel,
