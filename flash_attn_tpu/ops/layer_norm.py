@@ -188,3 +188,63 @@ class DropoutAddLayerNorm:
             prenorm=self.prenorm, residual_in_fp32=self.residual_in_fp32,
             rng=rng,
         )
+
+
+def dropout_add_layer_norm_subset(
+    x0,
+    residual,
+    weight,
+    bias,
+    dropout_p,
+    epsilon,
+    layerscale=None,
+    x0_subset=None,
+    out_subset=None,
+    rowscale_const=1.0,
+    out_numrows=None,
+    prenorm=False,
+    residual_in_fp32=False,
+    return_dropout_mask=False,
+    rng=None,
+):
+    """Subset variant (`ops/layer_norm.py:416` DropoutAddLayerNormSubsetFn):
+    `x0` holds only rows listed in `x0_subset` (1-based indices into the
+    residual stream, 0 = absent) and the normalised output keeps only
+    `out_subset` rows — the BERT unpadded-token path.  On TPU the gathers
+    are XLA ops around the fused norm; autodiff works throughout.
+
+    x0: (n0, d); residual: (n, d) or None; subsets: (n,) int32.
+    """
+    import jax.numpy as jnp
+
+    n = residual.shape[0] if residual is not None else (
+        x0.shape[0] if x0_subset is None else x0_subset.shape[0])
+    d = x0.shape[-1]
+    if x0_subset is not None:
+        # scatter x0 rows into the full stream (0 = row absent)
+        full = jnp.zeros((n, d), x0.dtype)
+        idx = jnp.asarray(x0_subset, jnp.int32)
+        present = idx > 0
+        rows = jnp.clip(idx - 1, 0, x0.shape[0] - 1)
+        full = jnp.where(present[:, None], x0[rows], 0)
+        x0_full = full * rowscale_const
+    else:
+        x0_full = x0 * rowscale_const
+    outs = dropout_add_layer_norm(
+        x0_full, residual, weight, bias, dropout_p, epsilon,
+        prenorm=prenorm, residual_in_fp32=residual_in_fp32,
+        layerscale=layerscale,
+        return_dropout_mask=return_dropout_mask, rng=rng,
+    )
+    out = outs[0] if isinstance(outs, tuple) else outs
+    rest = outs[1:] if isinstance(outs, tuple) else ()
+    if out_subset is not None:
+        idx = jnp.asarray(out_subset, jnp.int32)
+        keep = idx > 0
+        rows = jnp.clip(idx - 1, 0, n - 1)
+        # gather the requested rows (compact to out_numrows)
+        order = jnp.argsort(~keep, stable=True)
+        sel = jnp.clip(rows[order], 0, n - 1)
+        out = out[order][: (out_numrows or n)]
+        del sel
+    return (out, *rest) if rest else out
