@@ -920,6 +920,9 @@ def flash_attn_with_kvcache(
     attention_chunk=0,
     k_descale=None,
     v_descale=None,
+    scheduler_metadata=None,
+    pack_gqa=None,
+    sm_margin=0,
     return_softmax_lse=False,
     return_updated_cache=False,
 ):
@@ -934,6 +937,11 @@ def flash_attn_with_kvcache(
     back; under jit with donated arguments the update is in-place.
     """
     b, sq, h, d = q.shape
+    del pack_gqa, sm_margin  # accepted for signature parity; GQA packing is
+    # always on and there is no SM pool to carve (see decode_attn_ref_layout)
+    if scheduler_metadata is not None and not num_splits:
+        # dict from get_scheduler_metadata (`flash_attn_interface.py:803`)
+        num_splits = int(scheduler_metadata.get("num_splits", 0))
     if softmax_scale is None:
         softmax_scale = 1.0 / math.sqrt(d)
     paged = block_table is not None
