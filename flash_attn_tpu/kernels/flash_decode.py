@@ -432,15 +432,19 @@ def _decode_ref_kernel(p: DecodeParams, hk: int, *args):
 
         d = q_ref.shape[-1]
         dv = v_ref.shape[-1] // hk
+        if p.fp8_kv:
+            # dequantise the whole slab once per step (single wide cast)
+            kslab = k_ref[0].astype(jnp.bfloat16)
+            vslab = v_ref[0].astype(jnp.bfloat16)
+        else:
+            kslab = k_ref[0]
+            vslab = v_ref[0]
         for h in range(hk):
             q = q_ref[0, h]                      # (rows_n, d)
             # static lane slices of the (bk, hk*d) slab: cheap on TPU
             # (d is a multiple of the 128-lane tile)
-            k = k_ref[0, :, h * d:(h + 1) * d]   # (bk, d)
-            v = v_ref[0, :, h * dv:(h + 1) * dv]
-            if p.fp8_kv:
-                k = k.astype(jnp.bfloat16)
-                v = v.astype(jnp.bfloat16)
+            k = kslab[:, h * d:(h + 1) * d]      # (bk, d)
+            v = vslab[:, h * dv:(h + 1) * dv]
             st = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
