@@ -98,6 +98,10 @@ def make_loader(cfg, vocab_size: int) -> FaultTolerantLoader:
     if cfg.dataset == "synthetic":
         tokens = synthetic_tokens(vocab_size, cfg.batch_size * cfg.seq_len * 64 + 1,
                                   cfg.seed)
+    elif str(cfg.dataset).endswith(".bin"):
+        # flat uint16 token shard -> mmap (native C++ prefetch loader
+        # available via training.native_loader.NativeLMLoader)
+        tokens = load_memmap_tokens(cfg.dataset)
     else:
         tokens = np.load(cfg.dataset, mmap_mode="r")
     ds = LMDataset(np.asarray(tokens), cfg.seq_len)
