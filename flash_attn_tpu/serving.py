@@ -151,44 +151,68 @@ class ServingEngine:
         )
 
     def _admit(self):
+        # collect this wave: one request per free slot
+        wave = []
         for i in range(self.max_batch):
             if self.slots[i] is not None or not self.pending:
                 continue
-            req = self.pending[0]
+            req = self.pending.pop(0)
             L = len(req.prompt)
             if L + req.max_new_tokens + self.chunk_steps >= self.max_seqlen:
                 raise ValueError("request cannot fit max_seqlen")
-            self.pending.pop(0)
             self.slots[i] = req
-            self._prefill_into(i, req)
+            wave.append((i, req))
+        if not wave:
+            return
+        # batched prefill: all admitted prompts in ONE model call (padded
+        # to a shared bucket; the per-sample real length drives the first-
+        # token logits and the committed cache length)
+        self._prefill_wave(wave)
+        for i, req in wave:
             self.active[i] = True
             self._top_k[i] = req.top_k
             self._temp[i] = req.temperature
             self.stats.admitted += 1
-            self.stats.prefill_tokens += L
+            self.stats.prefill_tokens += len(req.prompt)
 
-    def _prefill_into(self, slot, req):
-        L = len(req.prompt)
-        bucket = self._bucket(L)
-        tokens = np.zeros((1, bucket), np.int32)
-        tokens[0, :L] = req.prompt
+    def _prefill_wave(self, wave):
+        lens = [len(req.prompt) for _, req in wave]
+        bucket = self._bucket(max(lens))
+        # pad the wave size to a power of two to bound jit variants
+        n = 1
+        while n < len(wave):
+            n *= 2
+        tokens = np.zeros((n, bucket), np.int32)
+        for r, (_, req) in enumerate(wave):
+            tokens[r, :lens[r]] = req.prompt
+        lengths = np.asarray(lens + [1] * (n - len(wave)), np.int32)
 
-        if bucket not in self._prefill_jit:
+        key = (bucket, n)
+        if key not in self._prefill_jit:
             def prefill(params, toks, length):
                 ip = InferenceParams(
-                    max_seqlen=self.max_seqlen, max_batch_size=1,
-                    lengths_per_sample=jnp.zeros((1,), jnp.int32),
+                    max_seqlen=self.max_seqlen, max_batch_size=toks.shape[0],
+                    lengths_per_sample=jnp.zeros((toks.shape[0],), jnp.int32),
                 )
                 out = self.apply_fn(params, toks, ip)
                 logits = jnp.take_along_axis(
-                    out.logits, (length - 1).reshape(1, 1, 1), axis=1
+                    out.logits,
+                    (length - 1)[:, None, None].astype(jnp.int32), axis=1,
                 )[:, 0]
                 return out.inference_params.key_value_memory_dict, logits
 
-            self._prefill_jit[bucket] = jax.jit(prefill)
-        kv_small, logits = self._prefill_jit[bucket](
-            self.params, jnp.asarray(tokens), jnp.full((1,), L, jnp.int32)
+            self._prefill_jit[key] = jax.jit(prefill)
+        kv_rows, logits_all = self._prefill_jit[key](
+            self.params, jnp.asarray(tokens), jnp.asarray(lengths)
         )
+        for r, (slot, req) in enumerate(wave):
+            kv_small = jax.tree_util.tree_map(
+                lambda x, r=r: x[r:r + 1], kv_rows
+            )
+            self._finish_prefill(slot, req, kv_small, logits_all[r:r + 1])
+
+    def _finish_prefill(self, slot, req, kv_small, logits):
+        L = len(req.prompt)
 
         if self.cache is None:
             def alloc(x):
