@@ -241,10 +241,12 @@ def dropout_add_layer_norm_subset(
     if out_subset is not None:
         idx = jnp.asarray(out_subset, jnp.int32)
         keep = idx > 0
-        rows = jnp.clip(idx - 1, 0, n - 1)
-        # gather the requested rows (compact to out_numrows)
-        order = jnp.argsort(~keep, stable=True)
-        sel = jnp.clip(rows[order], 0, n - 1)
-        out = out[order][: (out_numrows or n)]
-        del sel
+        m = out_numrows or n
+        # compact by scattering stream row i to output row out_subset[i]-1
+        # (dropped rows land in a scratch row past the end)
+        dest = jnp.where(keep, idx - 1, m)
+        out = (
+            jnp.zeros((m + 1,) + out.shape[1:], out.dtype)
+            .at[dest].set(out)[:m]
+        )
     return (out, *rest) if rest else out

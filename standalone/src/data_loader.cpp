@@ -164,7 +164,10 @@ int nl_add_shard(NativeLoader* L, const char* path) {
  * FaultTolerantLoader. */
 int nl_start(NativeLoader* L, int64_t epoch, int64_t batch_idx,
              int nthreads) {
-  L->n_examples = L->total_tokens() / (L->seq_len + 1);
+  /* Examples are laid out at stride seq_len and need seq_len+1 tokens
+   (input + shifted target), so the last valid start is total-seq_len-1:
+   matches the Python LMDataset's (total_tokens - 1) / seq_len count. */
+  L->n_examples = (L->total_tokens() - 1) / L->seq_len;
   if (L->n_examples < L->batch) return 1;
   L->n_batches = L->n_examples / L->batch;
   L->epoch = epoch;

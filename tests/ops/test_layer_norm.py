@@ -136,6 +136,26 @@ def test_subset_variant():
     assert float(jnp.abs(out - ref).max()) < 1e-4
 
 
+def test_subset_out_subset_ordering():
+    """out_subset rows land at their destination index even when the
+    mapping is non-monotone (stream order != output order)."""
+    rng = np.random.default_rng(7)
+    n, d = 8, 32
+    res = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    x0 = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal(d), jnp.float32)
+    b = jnp.zeros(d)
+    # stream row 0 -> out 2, row 2 -> out 0, row 5 -> out 1 (non-monotone)
+    out_subset = jnp.asarray([3, 0, 1, 0, 0, 2, 0, 0], jnp.int32)
+    out = dropout_add_layer_norm_subset(
+        x0, res, w, b, 0.0, 1e-5, out_subset=out_subset, out_numrows=3)
+    full_ref = ref_ln(x0 + res, w, b)
+    assert out.shape == (3, d)
+    assert float(jnp.abs(out[2] - full_ref[0]).max()) < 1e-4
+    assert float(jnp.abs(out[0] - full_ref[2]).max()) < 1e-4
+    assert float(jnp.abs(out[1] - full_ref[5]).max()) < 1e-4
+
+
 def test_grads_flow():
     rng = np.random.default_rng(6)
     x0 = jnp.asarray(rng.standard_normal((16, 64)), jnp.float32)
