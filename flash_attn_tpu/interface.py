@@ -44,7 +44,8 @@ __all__ = [
 
 @functools.lru_cache(maxsize=None)
 def _make_core(scale, causal, window, softcap, has_alibi, block_q, block_k,
-               dropout_p, attention_chunk=0, has_sinks=False):
+               dropout_p, attention_chunk=0, has_sinks=False,
+               full_lengths=False):
     """Build a custom_vjp-wrapped core for one static config.
 
     The cache plays the role of the reference's per-config kernel dispatch
@@ -60,18 +61,19 @@ def _make_core(scale, causal, window, softcap, has_alibi, block_q, block_k,
         dropout_p=dropout_p,
         attention_chunk=attention_chunk,
     )
+    fwd_kw = dict(kw, full_lengths=full_lengths)
 
     @jax.custom_vjp
     def core(q, k, v, slopes, sinks, seqused_q, seqused_k, dropout_seed):
         return flash_attn_fwd_bhsd(
             q, k, v, seqused_q, seqused_k, alibi_slopes=slopes, sinks=sinks,
-            dropout_seed=dropout_seed, **kw
+            dropout_seed=dropout_seed, **fwd_kw
         )
 
     def core_fwd(q, k, v, slopes, sinks, seqused_q, seqused_k, dropout_seed):
         o, lse = flash_attn_fwd_bhsd(
             q, k, v, seqused_q, seqused_k, alibi_slopes=slopes, sinks=sinks,
-            dropout_seed=dropout_seed, **kw
+            dropout_seed=dropout_seed, **fwd_kw
         )
         return (o, lse), (q, k, v, o, lse, slopes, sinks, seqused_q,
                           seqused_k, dropout_seed)
@@ -110,6 +112,7 @@ def _attn_bhsd(
     q, k, v, *, softmax_scale, causal, window_size, softcap, alibi_slopes,
     seqused_q, seqused_k, block_q=None, block_k=None, return_lse=False,
     dropout_p=0.0, dropout_seed=None, attention_chunk=0, sinks=None,
+    full_lengths=False,
 ):
     if dropout_p > 0.0 and block_q is None:
         # shared fwd/bwd tiling is not required (the keep mask hashes
@@ -120,7 +123,7 @@ def _attn_bhsd(
         float(softmax_scale), bool(causal),
         (int(window_size[0]), int(window_size[1])), float(softcap),
         alibi_slopes is not None, block_q, block_k, float(dropout_p),
-        int(attention_chunk), sinks is not None,
+        int(attention_chunk), sinks is not None, bool(full_lengths),
     )
     seed = jnp.asarray(0 if dropout_seed is None else dropout_seed, jnp.int32)
     o, lse = core(q, k, v, alibi_slopes, sinks, seqused_q, seqused_k, seed)
@@ -183,6 +186,10 @@ def flash_attn_func(
     seqused_k = jnp.full((b,), sk, jnp.int32)
     if _is_fp8(q):
         # Forward-only (the reference FP8 kernel has no backward either).
+        if dropout_p > 0.0:
+            raise NotImplementedError(
+                "dropout_p > 0 is not supported with fp8 inputs"
+            )
         from flash_attn_tpu.kernels.flash_fwd import flash_attn_fwd_bhsd
 
         o, lse = flash_attn_fwd_bhsd(
@@ -190,6 +197,7 @@ def flash_attn_func(
             softmax_scale=float(softmax_scale), causal=causal,
             window_size=window_size, softcap=softcap,
             alibi_slopes=alibi_slopes,
+            attention_chunk=attention_chunk,
             q_descale=q_descale, k_descale=k_descale, v_descale=v_descale,
             sinks=sinks,
         )
@@ -203,6 +211,7 @@ def flash_attn_func(
             return_lse=return_attn_probs,
             dropout_p=dropout_p, dropout_seed=dropout_seed,
             attention_chunk=attention_chunk, sinks=sinks,
+            full_lengths=True,
         )
     o = jnp.swapaxes(o, 1, 2)
     if return_attn_probs:
@@ -301,6 +310,7 @@ def flash_attn_varlen_func(
     seqused_q=None,
     seqused_k=None,
     block_table=None,
+    dropout_seed=None,
 ):
     """Varlen attention over packed tokens (`flash_attn_varlen_func:1380`).
 
@@ -311,27 +321,43 @@ def flash_attn_varlen_func(
     _check_dropout(dropout_p)
     del deterministic
     if block_table is not None:
-        raise NotImplementedError("paged KV goes through flash_attn_with_kvcache")
+        # Paged-KV varlen prefill (chunked prefill against a paged cache;
+        # reference `hopper/flash_api.cpp:673-707` page_table in varlen
+        # fwd).  k/v are the paged caches (npages, page, hk, d).
+        if dropout_p > 0.0 or softcap > 0.0 or return_attn_probs:
+            raise NotImplementedError(
+                "paged varlen prefill supports dropout_p=0, softcap=0")
+        return _varlen_paged_prefill(
+            q, k, v, cu_seqlens_q, max_seqlen_q, block_table,
+            seqused_k=seqused_k, cu_seqlens_k=cu_seqlens_k,
+            softmax_scale=softmax_scale, causal=causal,
+            window_size=window_size, alibi_slopes=alibi_slopes,
+        )
     d = q.shape[-1]
     b = cu_seqlens_q.shape[0] - 1
     if softmax_scale is None:
         softmax_scale = 1.0 / math.sqrt(d)
-    # Heavily ragged batches route to the packed block-sparse path (tokens
-    # never padded; cross-sequence blocks skipped) — measured 3.6x on a
-    # 1x8k+31x256 prefill.  Near-uniform batches keep the padded path (the
-    # dense kernel is ~2.5x faster per tile than the flex kernel).
-    simple = (dropout_p == 0.0 and softcap == 0.0 and alibi_slopes is None
-              and seqused_q is None and seqused_k is None
-              and not return_attn_probs)
-    if simple and b * max_seqlen_q >= 2 * q.shape[0] and b > 1:
-        from flash_attn_tpu.kernels.varlen_packed import (
-            flash_attn_varlen_packed_func,
+    # Ragged batches route to the packed scheduled-grid path (tokens never
+    # padded; the host-built tile schedule walks exactly the needed block
+    # pairs — `kernels/varlen_sched.py`).  Near-uniform batches keep the
+    # padded path (the dense pipelined kernel at full rate).  Dropout
+    # stays padded (its keep-mask hash is padded-coordinate); the packed
+    # aux word keeps 16 position bits per token, so longer sequences also
+    # stay padded.
+    routable = (dropout_p == 0.0 and seqused_q is None and seqused_k is None
+                and not return_attn_probs)
+    fits_packed = max(max_seqlen_q, max_seqlen_k) <= 0xFFFF
+    if routable and fits_packed and b * max_seqlen_q >= 2 * q.shape[0] and b > 1:
+        from flash_attn_tpu.kernels.varlen_sched import (
+            flash_attn_varlen_sched_func,
         )
 
-        return flash_attn_varlen_packed_func(
+        return flash_attn_varlen_sched_func(
             q, k, v, cu_seqlens_q, cu_seqlens_k,
+            max_seqlen_q, max_seqlen_k,
             softmax_scale=float(softmax_scale), causal=causal,
-            window_size=window_size,
+            window_size=window_size, softcap=softcap,
+            alibi_slopes=alibi_slopes,
         )
     lens_q = cu_seqlens_q[1:] - cu_seqlens_q[:-1]
     lens_k = cu_seqlens_k[1:] - cu_seqlens_k[:-1]
@@ -348,6 +374,7 @@ def flash_attn_varlen_func(
         softcap=softcap, alibi_slopes=alibi_slopes,
         seqused_q=used_q, seqused_k=used_k,
         return_lse=return_attn_probs,
+        dropout_p=dropout_p, dropout_seed=dropout_seed,
     )
     o = jnp.swapaxes(o, 1, 2)  # (b, max_sq, h, d)
     # Zero rows beyond each sequence's used length (they hold garbage from
@@ -360,6 +387,57 @@ def flash_attn_varlen_func(
     if return_attn_probs:
         return out, lse, None
     return out
+
+
+def _varlen_paged_prefill(
+    q, k_cache, v_cache, cu_seqlens_q, max_seqlen_q, block_table, *,
+    seqused_k, cu_seqlens_k, softmax_scale, causal, window_size,
+    alibi_slopes,
+):
+    """Chunked prefill against a paged KV cache.
+
+    Strategy: LEFT-pad each sequence's queries to `max_seqlen_q` so every
+    real row sits at the bottom of its padded block — the bottom-right
+    causal offset (`len_k - sq`) is then exact per sequence — and run the
+    paged split-KV decode kernel (`kernels/flash_decode.py`), which
+    already streams pages via the scalar-prefetched block table.  Garbage
+    rows (the left padding) are discarded on the scatter back.
+    """
+    from flash_attn_tpu.kernels.flash_decode import decode_attn_ref_layout
+
+    total_q, h, d = q.shape
+    b = cu_seqlens_q.shape[0] - 1
+    if softmax_scale is None:
+        softmax_scale = 1.0 / math.sqrt(d)
+    lens_q = cu_seqlens_q[1:] - cu_seqlens_q[:-1]
+    if seqused_k is not None:
+        lens_k = jnp.asarray(seqused_k, jnp.int32)
+    else:
+        lens_k = cu_seqlens_k[1:] - cu_seqlens_k[:-1]
+
+    # left-pad gather: padded row r holds token (r - (max_sq - len_q))
+    r = jnp.arange(max_seqlen_q, dtype=jnp.int32)[None, :]
+    src = cu_seqlens_q[:-1, None] + r - (max_seqlen_q - lens_q[:, None])
+    valid = src >= cu_seqlens_q[:-1, None]
+    qp = q[jnp.clip(src, 0, total_q - 1)]  # (b, max_sq, h, d)
+
+    o, _ = decode_attn_ref_layout(
+        qp, k_cache, v_cache, lens_k,
+        softmax_scale=float(softmax_scale), causal=causal,
+        window_size=window_size, alibi_slopes=alibi_slopes,
+        block_table=block_table,
+    )
+    o = jnp.where(valid[:, :, None, None], o, 0)
+    # scatter back: token t of sequence i is padded row
+    # (max_sq - len_q[i]) + (t - cu[i])
+    seg = jnp.clip(
+        jnp.searchsorted(cu_seqlens_q, jnp.arange(total_q, dtype=jnp.int32),
+                         side="right").astype(jnp.int32) - 1,
+        0, b - 1,
+    )
+    pos = (jnp.arange(total_q, dtype=jnp.int32) - cu_seqlens_q[seg]
+           + max_seqlen_q - lens_q[seg])
+    return o[seg, jnp.clip(pos, 0, max_seqlen_q - 1)]
 
 
 def flash_attn_varlen_qkvpacked_func(

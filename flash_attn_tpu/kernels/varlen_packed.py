@@ -169,15 +169,41 @@ def flash_attn_varlen_packed_func(
     under jit the cu_seqlens arrays are traced and the structure is
     computed on device.
     """
-    del max_seqlen_q, max_seqlen_k  # not needed: structure from cu_seqlens
     total_q, h, d = q.shape
     total_k = k.shape[0]
     nseq = int(cu_seqlens_q.shape[0]) - 1
     if nseq >= 0x7FFF:
         raise ValueError("packed varlen supports < 32767 sequences per call")
-    # per-sequence length must fit the 16 position bits
-    if total_k >= (1 << _POS_BITS) * max(nseq, 1):
-        pass  # lengths could still be fine; checked per-token below by clip
+    # Per-sequence length must fit the 16 position bits of the aux word —
+    # beyond that from-end positions saturate and the causal/window mask
+    # silently admits future tokens.  Check statically via max_seqlen when
+    # given, else via concrete cu_seqlens; traced cu_seqlens without a
+    # max_seqlen bound cannot be validated, so refuse them.
+    for name, ms, cu in (("q", max_seqlen_q, cu_seqlens_q),
+                         ("k", max_seqlen_k, cu_seqlens_k)):
+        if ms is not None:
+            if int(ms) > _POS_MASK:
+                raise ValueError(
+                    f"packed varlen supports per-sequence lengths up to "
+                    f"{_POS_MASK}; max_seqlen_{name}={int(ms)} exceeds it "
+                    f"(use the padded flash_attn_varlen_func path)"
+                )
+        elif not isinstance(cu, jax.core.Tracer):
+            import numpy as np
+
+            lens = np.diff(np.asarray(cu))
+            if lens.size and int(lens.max()) > _POS_MASK:
+                raise ValueError(
+                    f"packed varlen supports per-sequence lengths up to "
+                    f"{_POS_MASK}; got a length-{int(lens.max())} sequence "
+                    f"(use the padded flash_attn_varlen_func path)"
+                )
+        else:
+            raise ValueError(
+                "packed varlen needs max_seqlen_q/max_seqlen_k when "
+                "cu_seqlens are traced (cannot validate the 16-bit "
+                "position limit)"
+            )
     if softmax_scale is None:
         softmax_scale = 1.0 / math.sqrt(d)
     cu_q = jnp.asarray(cu_seqlens_q, jnp.int32)
