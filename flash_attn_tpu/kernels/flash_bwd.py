@@ -63,6 +63,13 @@ class BwdParams:
     block_k: int
     dropout_p: float = 0.0
     attention_chunk: int = 0
+    # Score-consistency mode: q_ref holds q * scale * log2(e) rounded to
+    # the input dtype — BITWISE the forward's folded Q — and lse_ref holds
+    # lse * log2(e), so pmat = exp2(s - lse) reproduces the forward's
+    # probabilities exactly (the reference bwd's scale_softmax_log2 role,
+    # `flash_bwd_kernel.h`).  Without this, at large score magnitudes the
+    # bwd's recomputed p diverges exponentially from the fwd's.
+    folded: bool = False
 
     @property
     def wr(self) -> int:
@@ -131,14 +138,16 @@ def _bwd_dq_kernel(p: BwdParams, sq_ref, sk_ref, *refs):
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = s * p.scale
         s_cap = None
-        if p.softcap > 0.0:
-            s_cap = jnp.tanh(s / p.softcap) * p.softcap
-            s = s_cap
-        if p.has_alibi:
-            slope = slopes_ref[b, hq]
-            s = s - slope * jnp.abs(rows + offset - cols).astype(jnp.float32)
+        if not p.folded:
+            s = s * p.scale
+            if p.softcap > 0.0:
+                s_cap = jnp.tanh(s / p.softcap) * p.softcap
+                s = s_cap
+            if p.has_alibi:
+                slope = slopes_ref[b, hq]
+                s = s - slope * jnp.abs(rows + offset - cols).astype(
+                    jnp.float32)
 
         mask = cols >= sk_b
         if p.has_upper:
@@ -150,7 +159,10 @@ def _bwd_dq_kernel(p: BwdParams, sq_ref, sk_ref, *refs):
             mask = jnp.logical_or(mask, cols // cc != (rows + offset) // cc)
         s = jnp.where(mask, MASK_VALUE, s)
 
-        pmat = jnp.exp2((s - lse_row) * LOG2E)  # underflows to exactly 0 when masked
+        # folded: s and lse are both in scale*log2(e) units -> pmat is
+        # bitwise the forward's probability (underflows to 0 when masked)
+        pmat = jnp.exp2(s - lse_row) if p.folded else (
+            jnp.exp2((s - lse_row) * LOG2E))
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -160,11 +172,19 @@ def _bwd_dq_kernel(p: BwdParams, sq_ref, sk_ref, *refs):
         ds = pmat * (dp - delta_row)
         if p.softcap > 0.0:
             ds = ds * (1.0 - (s_cap / p.softcap) ** 2)
-        ds = ds * p.scale
-        dq_acc[...] += jax.lax.dot_general(
-            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if p.folded:
+            # scale folds into the (small) K tile instead of the score tile
+            dq_acc[...] += jax.lax.dot_general(
+                ds.astype(k.dtype), k * jnp.asarray(p.scale, k.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            ds = ds * p.scale
+            dq_acc[...] += jax.lax.dot_general(
+                ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     @pl.when(ki == nk - 1)
     def _finalize():
@@ -233,14 +253,16 @@ def _bwd_dkv_kernel(p: BwdParams, sq_ref, sk_ref, *refs):
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = s * p.scale
         s_cap = None
-        if p.softcap > 0.0:
-            s_cap = jnp.tanh(s / p.softcap) * p.softcap
-            s = s_cap
-        if p.has_alibi:
-            slope = slopes_ref[b, hk_i * p.g + t % p.g]
-            s = s - slope * jnp.abs(rows + offset - cols).astype(jnp.float32)
+        if not p.folded:
+            s = s * p.scale
+            if p.softcap > 0.0:
+                s_cap = jnp.tanh(s / p.softcap) * p.softcap
+                s = s_cap
+            if p.has_alibi:
+                slope = slopes_ref[b, hk_i * p.g + t % p.g]
+                s = s - slope * jnp.abs(rows + offset - cols).astype(
+                    jnp.float32)
 
         mask = cols >= sk_b
         if p.has_upper:
@@ -252,7 +274,8 @@ def _bwd_dkv_kernel(p: BwdParams, sq_ref, sk_ref, *refs):
             mask = jnp.logical_or(mask, cols // cc != (rows + offset) // cc)
         s = jnp.where(mask, MASK_VALUE, s)
 
-        pmat = jnp.exp2((s - lse_row) * LOG2E)
+        pmat = jnp.exp2(s - lse_row) if p.folded else (
+            jnp.exp2((s - lse_row) * LOG2E))
         pd = pmat
         if p.dropout_p > 0.0:
             keep = dropout_keep(seed_ref[0], b, hk_i * p.g + t % p.g,
@@ -272,8 +295,11 @@ def _bwd_dkv_kernel(p: BwdParams, sq_ref, sk_ref, *refs):
         ds = pmat * (dp - delta_row)
         if p.softcap > 0.0:
             ds = ds * (1.0 - (s_cap / p.softcap) ** 2)
-        ds = ds * p.scale
-        # dK += dS^T Q
+        if not p.folded:
+            ds = ds * p.scale
+        # dK += dS^T Q  (folded: q holds q*scale*log2e — compensated by the
+        # constant 1/(log2e) at flush; the scale factor is exactly the one
+        # dK needs)
         dk_acc[...] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -281,8 +307,224 @@ def _bwd_dkv_kernel(p: BwdParams, sq_ref, sk_ref, *refs):
 
     @pl.when(t == nt - 1)
     def _finalize():
-        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dk = dk_acc[...]
+        if p.folded:
+            dk = dk * (1.0 / LOG2E)
+        dk_ref[0, 0] = dk.astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _bwd_fused_kernel(p: BwdParams, nq: int, sq_ref, sk_ref, *refs):
+    """Single-pass backward: dK/dV stationary per kv block (as
+    `_bwd_dkv_kernel`) plus a whole-head dQ accumulator in VMEM scratch,
+    so the score/dP recompute is shared — 5 matmuls per (q, kv) tile
+    instead of the 7 the two-kernel split pays.  The TPU analogue of the
+    reference's single-loop dKV-stationary backward
+    (`csrc/flash_attn/src/flash_bwd_kernel.h`), with the VMEM accumulator
+    playing the role of the atomic/semaphore dQ accumulation.
+
+    The dq output tile for (head, q block) is written on *every* kv-block
+    pass with the accumulator's current slab; the grid visits it last at
+    ki == nk-1, by which point every contribution has landed, so the final
+    write wins (earlier partial writes are dead stores).
+    """
+    refs = list(refs)
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = refs[:6]
+    refs = refs[6:]
+    slopes_ref = refs.pop(0) if p.has_alibi else None
+    seed_ref = refs.pop(0) if p.dropout_p > 0.0 else None
+    dq_ref, dk_ref, dv_ref, dq_all, dk_acc, dv_acc = refs
+
+    b = pl.program_id(0)
+    hk_i = pl.program_id(1)
+    ki = pl.program_id(2)
+    t = pl.program_id(3)
+    nt = pl.num_programs(3)
+    bq, bk = p.block_q, p.block_k
+    qi = t // p.g
+    gi = t % p.g
+    sq_b = sq_ref[b]
+    sk_b = sk_ref[b]
+    dq_off = (gi * nq + qi) * bq  # row offset into the (g*nq*bq, d) scratch
+
+    @pl.when(jnp.logical_and(ki == 0, t == 0))
+    def _init_dq():
+        dq_all[...] = jnp.zeros_like(dq_all)
+
+    @pl.when(t == 0)
+    def _init_dkv():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    min_qi, max_qi = _q_block_bounds(p, ki, sq_b, sk_b)
+    in_range = jnp.logical_and(qi >= min_qi, qi <= max_qi)
+    k_valid = ki * bk < sk_b
+    should_compute = jnp.logical_and(in_range, k_valid)
+
+    @pl.when(should_compute)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse_row = lse_ref[0, 0][:, :1]
+        delta_row = delta_ref[0, 0][:, :1]
+
+        rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        cols = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        offset = sk_b - sq_b
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s_cap = None
+        if not p.folded:
+            s = s * p.scale
+            if p.softcap > 0.0:
+                s_cap = jnp.tanh(s / p.softcap) * p.softcap
+                s = s_cap
+            if p.has_alibi:
+                slope = slopes_ref[b, hk_i * p.g + gi]
+                s = s - slope * jnp.abs(rows + offset - cols).astype(
+                    jnp.float32)
+
+        mask = cols >= sk_b
+        if p.has_upper:
+            mask = jnp.logical_or(mask, cols > rows + offset + p.wr)
+        if p.has_lower:
+            mask = jnp.logical_or(mask, cols < rows + offset - p.window_left)
+        if p.attention_chunk > 0:
+            cc = p.attention_chunk
+            mask = jnp.logical_or(mask, cols // cc != (rows + offset) // cc)
+        s = jnp.where(mask, MASK_VALUE, s)
+
+        pmat = jnp.exp2(s - lse_row) if p.folded else (
+            jnp.exp2((s - lse_row) * LOG2E))
+        pd = pmat
+        if p.dropout_p > 0.0:
+            keep = dropout_keep(seed_ref[0], b, hk_i * p.g + gi,
+                                rows, cols, p.dropout_p)
+            rp = 1.0 / (1.0 - p.dropout_p)
+            pd = jnp.where(keep, pmat, 0.0) * rp
+        # dV += Pd^T dO
+        dv_acc[...] += jax.lax.dot_general(
+            pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if p.dropout_p > 0.0:
+            dp = jnp.where(keep, dp, 0.0) * rp
+        ds = pmat * (dp - delta_row)
+        if p.softcap > 0.0:
+            ds = ds * (1.0 - (s_cap / p.softcap) ** 2)
+        if not p.folded:
+            ds = ds * p.scale
+        ds_lp = ds.astype(q.dtype)
+        # dK += dS^T Q (folded: q holds q*scale*log2e — the 1/log2e
+        # compensation is applied at flush)
+        dk_acc[...] += jax.lax.dot_general(
+            ds_lp, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dQ[qi, gi] += dS K  (shared-recompute half of the dq kernel;
+        # folded: scale rides on the small K tile)
+        k_dq = k * jnp.asarray(p.scale, k.dtype) if p.folded else k
+        dq_all[pl.dslice(dq_off, bq), :] += jax.lax.dot_general(
+            ds_lp, k_dq, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # Always write the current dq slab for (gi, qi): the write at the last
+    # kv pass (ki == nk-1) is the complete value and wins.
+    dq_ref[0, 0] = dq_all[pl.dslice(dq_off, bq), :].astype(dq_ref.dtype)
+
+    @pl.when(t == nt - 1)
+    def _finalize():
+        dk = dk_acc[...]
+        if p.folded:
+            dk = dk * (1.0 / LOG2E)
+        dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+# dQ scratch ceiling for the fused kernel: g * sq_p * d * 4 bytes must fit
+# VMEM alongside the working tiles.
+_FUSED_DQ_SCRATCH_LIMIT = 48 * 1024 * 1024
+
+
+def _bwd_fused(p, q, k, v, do, lse_r, delta_r, slopes, seed,
+               seqused_q, seqused_k, sq, sk, sq_p, sk_p, dv_dim):
+    b, h, _, d = q.shape
+    hk = k.shape[1]
+    g = p.g
+    bq, bk = p.block_q, p.block_k
+    nq = sq_p // bq
+    nk = sk_p // bk
+
+    def qhead_map(b_, hk_, ki, t, sq_ref, sk_ref):
+        qi = t // g
+        gi = t % g
+        min_qi, max_qi = _q_block_bounds(p, ki, sq_ref[b_], sk_ref[b_])
+        qi_eff = jnp.clip(qi, jnp.maximum(min_qi, 0), jnp.maximum(max_qi, 0))
+        qi_eff = jnp.clip(qi_eff, 0, nq - 1)
+        return (b_, hk_ * g + gi, qi_eff, 0)
+
+    def dq_out_map(b_, hk_, ki, t, *_):
+        # unclamped: every step writes its own (head, q block) tile
+        return (b_, hk_ * g + t % g, t // g, 0)
+
+    def kv_map(b_, hk_, ki, t, *_):
+        return (b_, hk_, ki, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, d), qhead_map),
+        pl.BlockSpec((1, 1, bk, d), kv_map),
+        pl.BlockSpec((1, 1, bk, dv_dim), kv_map),
+        pl.BlockSpec((1, 1, bq, dv_dim), qhead_map),
+        pl.BlockSpec((1, 1, bq, STAT_LANES), qhead_map),
+        pl.BlockSpec((1, 1, bq, STAT_LANES), qhead_map),
+    ]
+    inputs = [q, k, v, do, lse_r, delta_r]
+    if slopes is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(slopes)
+    if p.dropout_p > 0.0:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(seed)
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, p, nq),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, hk, nk, nq * g),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, 1, bq, d), dq_out_map),
+                pl.BlockSpec((1, 1, bk, d), kv_map),
+                pl.BlockSpec((1, 1, bk, dv_dim), kv_map),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((g * nq * bq, d), jnp.float32),
+                pltpu.VMEM((bk, d), jnp.float32),
+                pltpu.VMEM((bk, dv_dim), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b, hk, sk_p, d), k.dtype),
+            jax.ShapeDtypeStruct((b, hk, sk_p, dv_dim), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                "parallel", "parallel", "arbitrary", "arbitrary"
+            ),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=use_interpret(),
+    )(seqused_q, seqused_k, *inputs)
+    return dq[:, :, :sq, :], dk[:, :, :sk, :], dv[:, :, :sk, :]
 
 
 def flash_attn_bwd_bhsd(
@@ -335,6 +577,16 @@ def flash_attn_bwd_bhsd(
     if dlse is not None:
         delta = delta - dlse.astype(jnp.float32)
 
+    # Score consistency with the forward (see BwdParams.folded): reproduce
+    # the forward's Q folding bit-for-bit and move LSE to log2 units, so
+    # the recomputed probabilities match the forward's exactly.  The fwd
+    # folds iff no softcap/alibi and not fp8 (`flash_fwd.py`).
+    folded = softcap == 0.0 and alibi_slopes is None
+    if folded:
+        q = (q.astype(jnp.float32)
+             * (float(softmax_scale) * LOG2E)).astype(q.dtype)
+        lse = lse * LOG2E
+
     def pad_s(x, target, axis=2):
         padw = [(0, 0)] * x.ndim
         padw[axis] = (0, target - x.shape[axis])
@@ -366,6 +618,7 @@ def flash_attn_bwd_bhsd(
         block_k=bk,
         dropout_p=float(dropout_p),
         attention_chunk=int(attention_chunk),
+        folded=folded,
     )
     seed = jnp.asarray(
         0 if dropout_seed is None else dropout_seed, jnp.int32
@@ -378,6 +631,15 @@ def flash_attn_bwd_bhsd(
         )
     seqused_q = jnp.asarray(seqused_q, jnp.int32)
     seqused_k = jnp.asarray(seqused_k, jnp.int32)
+
+    # ---- Fused single-pass kernel (default): dKV stationary + whole-head
+    # dQ accumulator in scratch; falls back to the two-kernel split when the
+    # dQ scratch would not fit VMEM. ----
+    if g * sq_p * d * 4 <= _FUSED_DQ_SCRATCH_LIMIT:
+        return _bwd_fused(
+            p, q, k, v, do, lse_r, delta_r, slopes, seed,
+            seqused_q, seqused_k, sq, sk, sq_p, sk_p, dv_dim,
+        )
 
     # ---- dQ kernel: grid (b, h, nq, nk) ----
     def q_map(b_, h_, qi, ki, *_):
