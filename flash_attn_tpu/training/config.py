@@ -65,10 +65,17 @@ class OptimizerConfig:
 
 @dataclass
 class SchedulerConfig:
-    name: str = "cosine"  # cosine | linear | constant
+    # cosine | linear | constant | step | multistep | invsqrt | poly | plateau
+    name: str = "cosine"
     warmup_steps: int = 100
     decay_steps: int = 10000
     min_lr_ratio: float = 0.1
+    gamma: float = 0.1               # step / multistep / plateau factor
+    step_size: int = 0               # step (0 = decay_steps // 3)
+    milestones: Optional[list] = None  # multistep
+    power: float = 1.0               # poly
+    plateau_patience: int = 3        # plateau: evals without improvement
+    plateau_min_delta: float = 0.0
 
 
 @dataclass
@@ -77,6 +84,15 @@ class DataConfig:
     seq_len: int = 1024
     batch_size: int = 8
     seed: int = 0
+    # HF-datasets / local-text datamodule (language_modeling_hf.py role);
+    # set hf_dataset or text_files to activate
+    hf_dataset: Optional[str] = None
+    hf_config: Optional[str] = None
+    text_files: Optional[list] = None
+    tokenizer: str = "gpt2"            # HF tokenizer name or "bytes"
+    detokenizer: Optional[str] = None  # e.g. "wikitext"
+    max_examples: int = 0
+    cache_dir: str = ".hf_token_cache"
 
 
 @dataclass
@@ -96,6 +112,13 @@ class TrainerConfig:
     checkpoint_dir: str = "checkpoints"
     resume: bool = True
     seed: int = 0
+    # EMA of params (0 = off; `callbacks/ema.py` counterpart)
+    ema_decay: float = 0.0
+    # loggers: stdout | jsonl | csv | tensorboard (logger-zoo counterpart)
+    loggers: Optional[list] = None
+    out_dir: str = "runs"
+    # chunked LM-head cross-entropy: tokens per chunk (0 = unchunked)
+    ce_chunk_tokens: int = 16384
 
 
 @dataclass

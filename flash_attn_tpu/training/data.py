@@ -95,6 +95,20 @@ class FaultTolerantLoader:
 
 
 def make_loader(cfg, vocab_size: int) -> FaultTolerantLoader:
+    if getattr(cfg, "hf_dataset", None) or getattr(cfg, "text_files", None):
+        from flash_attn_tpu.training.hf_data import (
+            HFDataConfig,
+            make_hf_loader,
+        )
+
+        hf_cfg = HFDataConfig(
+            dataset_name=cfg.hf_dataset, dataset_config=cfg.hf_config,
+            text_files=cfg.text_files, tokenizer=cfg.tokenizer,
+            detokenizer=cfg.detokenizer, cache_dir=cfg.cache_dir,
+            max_examples=cfg.max_examples,
+        )
+        return make_hf_loader(hf_cfg, cfg.seq_len, cfg.batch_size,
+                              seed=cfg.seed)
     if cfg.dataset == "synthetic":
         tokens = synthetic_tokens(vocab_size, cfg.batch_size * cfg.seq_len * 64 + 1,
                                   cfg.seed)

@@ -1,0 +1,139 @@
+"""Metric loggers (counterpart of the reference's Lightning logger zoo,
+`training/configs/logger/` — wandb/tensorboard/csv/...).
+
+Offline-friendly implementations: stdout, CSV, JSONL, and TensorBoard
+(event-file writer, used when `tensorboardX`/`tf` is importable; silently
+skipped otherwise — the environment has no network).  `make_loggers`
+returns a multiplexer with `.log(step, metrics)` / `.close()`.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import time
+from pathlib import Path
+
+
+class StdoutLogger:
+    def log(self, step: int, metrics: dict):
+        print({"step": step, **metrics}, flush=True)
+
+    def close(self):
+        pass
+
+
+class JSONLLogger:
+    def __init__(self, out_dir):
+        self.path = Path(out_dir) / "metrics.jsonl"
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._f = open(self.path, "a")
+
+    def log(self, step: int, metrics: dict):
+        rec = {"step": step, "time": time.time(), **metrics}
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+
+class CSVLogger:
+    def __init__(self, out_dir):
+        self.path = Path(out_dir) / "metrics.csv"
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._f = open(self.path, "a", newline="")
+        self._writer = None
+        self._fields = None
+
+    def log(self, step: int, metrics: dict):
+        rec = {"step": step, **metrics}
+        if self._writer is None:
+            self._fields = list(rec)
+            self._writer = csv.DictWriter(self._f, fieldnames=self._fields,
+                                          extrasaction="ignore")
+            if self._f.tell() == 0:
+                self._writer.writeheader()
+        for k in rec:
+            if k not in self._fields:
+                # new metric mid-run: restart writer with the union
+                self._fields = list(dict.fromkeys(self._fields + list(rec)))
+                self._writer = csv.DictWriter(
+                    self._f, fieldnames=self._fields, extrasaction="ignore")
+        self._writer.writerow(rec)
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+
+class TensorBoardLogger:
+    """Thin event-file writer; requires tensorboardX or tensorflow."""
+
+    def __init__(self, out_dir):
+        self._writer = None
+        try:
+            from tensorboardX import SummaryWriter  # type: ignore
+
+            self._writer = SummaryWriter(str(Path(out_dir) / "tb"))
+        except ImportError:
+            try:
+                import tensorflow as tf  # type: ignore
+
+                self._writer = tf.summary.create_file_writer(
+                    str(Path(out_dir) / "tb"))
+                self._tf = tf
+            except ImportError:
+                self._writer = None
+
+    @property
+    def available(self):
+        return self._writer is not None
+
+    def log(self, step: int, metrics: dict):
+        if self._writer is None:
+            return
+        if hasattr(self._writer, "add_scalar"):
+            for k, v in metrics.items():
+                if isinstance(v, (int, float)):
+                    self._writer.add_scalar(k, v, step)
+        else:
+            with self._writer.as_default():
+                for k, v in metrics.items():
+                    if isinstance(v, (int, float)):
+                        self._tf.summary.scalar(k, v, step=step)
+
+    def close(self):
+        if self._writer is not None and hasattr(self._writer, "close"):
+            self._writer.close()
+
+
+class LoggerCollection:
+    def __init__(self, loggers):
+        self.loggers = loggers
+
+    def log(self, step: int, metrics: dict):
+        for lg in self.loggers:
+            lg.log(step, metrics)
+
+    def close(self):
+        for lg in self.loggers:
+            lg.close()
+
+
+def make_loggers(names, out_dir="runs") -> LoggerCollection:
+    out = []
+    for name in names or ["stdout"]:
+        if name == "stdout":
+            out.append(StdoutLogger())
+        elif name == "jsonl":
+            out.append(JSONLLogger(out_dir))
+        elif name == "csv":
+            out.append(CSVLogger(out_dir))
+        elif name in ("tensorboard", "tb"):
+            tb = TensorBoardLogger(out_dir)
+            if tb.available:
+                out.append(tb)
+        else:
+            raise ValueError(f"unknown logger {name!r}")
+    return LoggerCollection(out)
