@@ -1,0 +1,550 @@
+"""Scheduled-grid packed varlen attention — first-class varlen.
+
+The round-1 packed path rode the flex kernel (~2.5x per-tile overhead,
+no softcap/alibi/dropout).  This kernel brings the dense kernel's tricks
+to the packed (total_tokens, h, d) stream:
+
+* **Device-built tile schedule** (the `VarlenDynamicPersistentTileScheduler`
+  role, `hopper/tile_scheduler.hpp:493`, and the varlen `BlockInfo` role,
+  `csrc/flash_attn/src/block_info.h:13`): interval logic on cu_seqlens
+  marks each (q block, kv block) pair needed / full / boundary, and the
+  pairs are flattened into scalar-prefetched tables walked by a
+  `(heads/block_h, T)` grid.  T is a static worst-case bound; unused tail
+  entries are EMPTY ticks with no DMA or compute.
+* **Aux words**: each token carries `(segment << 16) | pos_from_seq_end`
+  (as in `varlen_packed.py`) — boundary tiles mask with three vector
+  compares; interior tiles skip the mask entirely.  From-end coordinates
+  make bottom-right causal one compare and give ALiBi its |i-j| directly
+  (|fq - fk|).
+* **Head blocking + software pipelining** as in `flash_fwd.py`: QK of
+  item n issues ahead of softmax+PV of item n-1.
+* softcap / ALiBi / dropout supported (the round-1 gaps).
+
+Backward: `flash_attn_varlen_sched_func` is a `jax.custom_vjp` whose
+backward re-gathers to the padded layout and runs the deterministic fused
+backward (`flash_bwd.py`) with per-sequence `seqused` — packed-fast
+forward, exact padded backward.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attn_tpu.env import use_interpret
+from flash_attn_tpu.kernels.block_sizes import cdiv, round_up
+from flash_attn_tpu.kernels.flash_fwd import (
+    LANES,
+    LOG2E,
+    MASK_VALUE,
+    dropout_keep,
+)
+
+_POS_BITS = 16
+_POS_MASK = (1 << _POS_BITS) - 1
+_PAD_SEG = 0x7FFF
+
+_FIRST, _LAST, _BOUND, _EMPTY = 1, 2, 4, 8
+STAT = 8  # q-aux lane replication
+
+
+def token_aux(cu_seqlens, total, total_p, seqused=None):
+    """(total_p,) int32 aux words: (segment << 16) | pos_from_seq_END.
+
+    `seqused` optionally limits the used tokens per sequence: tokens at or
+    beyond the used length get the pad segment (match nothing)."""
+    idx = jnp.arange(total_p, dtype=jnp.int32)
+    nseq = cu_seqlens.shape[0] - 1
+    seg = jnp.clip(
+        jnp.searchsorted(cu_seqlens, idx, side="right").astype(jnp.int32) - 1,
+        0, nseq - 1)
+    if seqused is not None:
+        used = jnp.asarray(seqused, jnp.int32)
+        end = cu_seqlens[seg] + used[seg]
+    else:
+        end = cu_seqlens[seg + 1]
+    from_end = jnp.clip(end - 1 - idx, 0, _POS_MASK)
+    aux = (seg << _POS_BITS) | from_end
+    pad = jnp.int32(_PAD_SEG) << _POS_BITS
+    aux = jnp.where(idx < jnp.minimum(total, cu_seqlens[-1]), aux, pad)
+    if seqused is not None:
+        aux = jnp.where(idx < end, aux, pad)
+    return aux
+
+
+def build_varlen_schedule(
+    cu_q, cu_k, total_q_p, total_k_p, *, bq, bk, causal, window, T_max,
+):
+    """Device-side schedule tables (qi_tab, ki_tab, flags), each (T_max,).
+
+    Interval logic at block granularity (as `varlen_packed.varlen_block_mask`):
+    a pair is needed iff the blocks' segment ranges intersect (and survive
+    the causal/window block bound); boundary iff a mask can cut it."""
+    nq = total_q_p // bq
+    nk = total_k_p // bk
+    nseq = cu_q.shape[0] - 1
+    wl, wr = int(window[0]), int(window[1])
+
+    def seg_of(pos, cu):
+        s = jnp.searchsorted(cu, pos, side="right").astype(jnp.int32) - 1
+        return jnp.clip(s, 0, nseq - 1)
+
+    q0 = jnp.arange(nq, dtype=jnp.int32) * bq
+    q1 = q0 + bq - 1
+    k0 = jnp.arange(nk, dtype=jnp.int32) * bk
+    k1 = k0 + bk - 1
+    total_q = cu_q[-1]
+    k_end_of = cu_k[1:]  # (nseq,) end of keys per segment
+    total_k = cu_k[-1]
+    q1c = jnp.minimum(q1, total_q - 1)
+    k1c = jnp.minimum(k1, total_k - 1)
+    qs0, qs1 = seg_of(q0, cu_q), seg_of(q1c, cu_q)
+    ks0, ks1 = seg_of(k0, cu_k), seg_of(k1c, cu_k)
+    q_in = q0 < total_q
+    k_live = k0 < total_k
+
+    inter = ((qs0[:, None] <= ks1[None, :]) & (ks0[None, :] <= qs1[:, None])
+             & q_in[:, None] & k_live[None, :])
+
+    # causal/window block-level pruning + fullness via from-end corners
+    q_end = cu_q[qs0 + 1]
+    k_end = k_end_of[ks0]
+    one_seg = ((qs0 == qs1)[:, None] & (ks0 == ks1)[None, :]
+               & (qs0[:, None] == ks0[None, :]))
+    blocks_real = (q1[:, None] < total_q) & (k1[None, :] < total_k)
+    full = inter & one_seg & blocks_real
+    if causal or wr >= 0:
+        w = 0 if causal else wr
+        pk_last = k_end[None, :] - 1 - k1[None, :]
+        pq_first = q_end[:, None] - 1 - q0[:, None]
+        full = full & (pk_last >= pq_first - w)
+        # prune: block pair dead if even the most-permissive corner fails:
+        # largest k from-end vs smallest q from-end
+        pk_first = k_end[None, :] - 1 - k0[None, :]
+        pq_last = q_end[:, None] - 1 - q1[:, None]
+        inter = inter & ~(one_seg & (pk_first < pq_last - w))
+    if wl >= 0:
+        pk_first = k_end[None, :] - 1 - k0[None, :]
+        pq_last = q_end[:, None] - 1 - q1[:, None]
+        full = full & (pk_first <= pq_last + wl)
+        pk_last = k_end[None, :] - 1 - k1[None, :]
+        pq_first = q_end[:, None] - 1 - q0[:, None]
+        inter = inter & ~(one_seg & (pk_last > pq_first + wl))
+
+    needed = inter
+    # ensure every in-range q block has >= 1 entry (zero-output rows)
+    row_any = needed.any(axis=1)
+    force = (~row_any) & q_in
+    needed = needed | (force[:, None] & (jnp.arange(nk) == 0)[None, :])
+    empty_entry = force[:, None] & (jnp.arange(nk) == 0)[None, :]
+
+    csum = jnp.cumsum(needed, axis=1)
+    first = needed & (csum == 1)
+    total_row = csum[:, -1:]
+    last = needed & (csum == total_row)
+    boundary = needed & ~full
+
+    flags = (first * _FIRST + last * _LAST + boundary * _BOUND
+             + empty_entry * _EMPTY).astype(jnp.int32)
+
+    flat_needed = needed.reshape(-1)
+    key = jnp.where(flat_needed,
+                    jnp.arange(nq * nk, dtype=jnp.int32),
+                    jnp.int32(nq * nk))
+    order = jnp.argsort(key)[:T_max]
+    valid = key[order] < nq * nk
+    pair = order
+    qi_tab = jnp.where(valid, pair // nk, nq - 1).astype(jnp.int32)
+    ki_tab = jnp.where(valid, pair % nk, 0).astype(jnp.int32)
+    fl_tab = jnp.where(valid, flags.reshape(-1)[order],
+                       jnp.int32(_EMPTY))
+    # padding entries keep the LAST valid entry's (qi, ki) so no fresh DMA
+    # or out-block transition happens on the tail
+    def carry_last(tab):
+        # running "index of last valid entry" via a cumulative max
+        idx = jax.lax.cummax(
+            jnp.where(valid, jnp.arange(T_max, dtype=jnp.int32), -1))
+        idx = jnp.maximum(idx, 0)
+        return tab[idx]
+
+    qi_tab = carry_last(qi_tab)
+    ki_tab = carry_last(ki_tab)
+    return qi_tab, ki_tab, fl_tab
+
+
+def _varlen_sched_kernel(
+    meta, qi_ref, ki_ref, fl_ref, *refs,
+):
+    """Grid (h//bh, T).  meta = (scale, causal, wl, wr, softcap, has_alibi,
+    g, bq, bk, bh, hbk, dropout_p, folded)."""
+    (scale, causal, wl, wr, softcap, has_alibi, g, bq, bk, bh, hbk,
+     dropout_p, folded) = meta
+    refs = list(refs)
+    q_ref, k_ref, v_ref, qa_ref, ka_ref = refs[:5]
+    refs = refs[5:]
+    slopes_ref = refs.pop(0) if has_alibi else None
+    seed_ref = refs.pop(0) if dropout_p > 0.0 else None
+    o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
+
+    hb = pl.program_id(0)
+    t = pl.program_id(1)
+    hq0 = hb * bh
+    qi = qi_ref[t]
+    ki = ki_ref[t]
+    fl = fl_ref[t]
+    first = (fl & _FIRST) != 0
+    last = (fl & _LAST) != 0
+    boundary = (fl & _BOUND) != 0
+    empty = (fl & _EMPTY) != 0
+    generic = softcap > 0.0 or has_alibi
+    c = LOG2E if generic else 1.0
+
+    @pl.when(first)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    qa = qa_ref[:, :1]          # (bq, 1) aux words
+    ka = ka_ref[0, :1, :]       # (1, bk)
+    seg_q = jax.lax.shift_right_logical(qa, _POS_BITS)
+    seg_k = jax.lax.shift_right_logical(ka, _POS_BITS)
+    pq = qa & _POS_MASK         # from-end positions
+    pk = ka & _POS_MASK
+
+    def qk_stage(hh, with_mask: bool):
+        hkv_local = 0 if hbk == 1 else hh
+        kk = k_ref[hkv_local]
+        s = jax.lax.dot_general(
+            q_ref[hh], kk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if generic:
+            s = s * scale
+            if softcap > 0.0:
+                s = jnp.tanh(s / softcap) * softcap
+        if has_alibi:
+            slope = slopes_ref[hq0 + hh]
+            s = s - slope * jnp.abs(pq - pk).astype(jnp.float32)
+        mask = None
+        if with_mask:
+            mask = jnp.logical_or(seg_q != seg_k, seg_q == _PAD_SEG)
+            if causal or wr >= 0:
+                w = 0 if causal else wr
+                mask = jnp.logical_or(mask, pk < pq - w)
+            if wl >= 0:
+                mask = jnp.logical_or(mask, pk > pq + wl)
+            s = jnp.where(mask, MASK_VALUE, s)
+        return s, mask
+
+    def smpv_stage(hh, s, mask):
+        hkv_local = 0 if hbk == 1 else hh
+        v = v_ref[hkv_local]
+        m_prev = m_ref[hh, :, :1]
+        l_prev = l_ref[hh, :, :1]
+        m_curr = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp2((m_prev - m_curr) * c)
+        pmat = jnp.exp2((s - m_curr) * c)
+        if mask is not None:
+            pmat = jnp.where(mask, 0.0, pmat)
+        l_curr = l_prev * alpha + jnp.sum(pmat, axis=1, keepdims=True)
+        m_ref[hh] = jnp.broadcast_to(m_curr, m_ref.shape[1:])
+        l_ref[hh] = jnp.broadcast_to(l_curr, l_ref.shape[1:])
+        if dropout_p > 0.0:
+            rows = qi * bq + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bk), 0)
+            cols = ki * bk + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bk), 1)
+            keep = dropout_keep(seed_ref[0], 0, hq0 + hh, rows, cols,
+                                dropout_p)
+            pmat = jnp.where(keep, pmat, 0.0) * (1.0 / (1.0 - dropout_p))
+        pv = jax.lax.dot_general(
+            pmat.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[hh] = acc_ref[hh] * alpha + pv
+
+    def run_items(with_mask: bool):
+        prev = None
+        for hh in range(bh):
+            s, mask = qk_stage(hh, with_mask)
+            if prev is not None:
+                smpv_stage(*prev)
+            prev = (hh, s, mask)
+        smpv_stage(*prev)
+
+    @pl.when(jnp.logical_and(jnp.logical_not(empty),
+                             jnp.logical_not(boundary)))
+    def _interior():
+        run_items(with_mask=False)
+
+    @pl.when(jnp.logical_and(jnp.logical_not(empty), boundary))
+    def _bound():
+        run_items(with_mask=True)
+
+    @pl.when(last)
+    def _finalize():
+        for hh in range(bh):
+            l_final = l_ref[hh, :, :1]
+            m_final = m_ref[hh, :, :1]
+            zero = l_final == 0.0
+            l_safe = jnp.where(zero, 1.0, l_final)
+            o_ref[hh] = (acc_ref[hh] / l_safe).astype(o_ref.dtype)
+            m_nat = m_final if generic else m_final / LOG2E
+            lse = jnp.where(zero, jnp.inf, m_nat + jnp.log(l_safe))
+            lse_ref[hh] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+def _varlen_sched_fwd(
+    q, k, v, cu_q, cu_k, qa, ka_rows, qi_tab, ki_tab, fl_tab, *,
+    scale, causal, window, softcap, alibi_slopes, dropout_p, dropout_seed,
+    bq, bk, bh,
+):
+    """Raw scheduled forward.  q: (total_q_p, h, d) padded; aux/tables
+    prebuilt.  Returns o (total_q_p, h, d), lse (h, total_q_p)."""
+    total_q_p, h, d = q.shape
+    total_k_p = k.shape[0]
+    hk = k.shape[1]
+    dv = v.shape[-1]
+    g = h // hk
+    limit = h if g == 1 else g
+    bh = min(bh, limit)
+    while limit % bh:
+        bh -= 1
+    hbk = bh if g == 1 else 1
+    generic = softcap > 0.0 or alibi_slopes is not None
+
+    qT = jnp.swapaxes(q, 0, 1)          # (h, total_q_p, d)
+    kT = jnp.swapaxes(k, 0, 1)
+    vT = jnp.swapaxes(v, 0, 1)
+    if not generic:
+        qT = (qT.astype(jnp.float32) * (scale * LOG2E)).astype(qT.dtype)
+
+    T = int(qi_tab.shape[0])
+
+    def q_map(hb_, t, qi_r, ki_r, fl_r):
+        return (hb_, qi_r[t], 0)
+
+    def kv_map(hb_, t, qi_r, ki_r, fl_r):
+        if g == 1:
+            return (hb_, ki_r[t], 0)
+        return ((hb_ * bh) // g, ki_r[t], 0)
+
+    def qa_map(hb_, t, qi_r, ki_r, fl_r):
+        return (qi_r[t], 0)
+
+    def ka_map(hb_, t, qi_r, ki_r, fl_r):
+        return (ki_r[t], 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((bh, bq, d), q_map),
+        pl.BlockSpec((hbk, bk, d), kv_map),
+        pl.BlockSpec((hbk, bk, dv), kv_map),
+        pl.BlockSpec((bq, STAT), qa_map),
+        pl.BlockSpec((1, STAT, bk), ka_map),
+    ]
+    qa_rep = jnp.broadcast_to(qa[:, None], (total_q_p, STAT))
+    inputs = [qT, kT, vT, qa_rep, ka_rows]
+    if alibi_slopes is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(jnp.asarray(alibi_slopes, jnp.float32).reshape(h))
+    if dropout_p > 0.0:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(jnp.asarray(
+            0 if dropout_seed is None else dropout_seed, jnp.int32
+        ).reshape(1))
+
+    meta = (float(scale), bool(causal), int(window[0]), int(window[1]),
+            float(softcap), alibi_slopes is not None, g, bq, bk, bh, hbk,
+            float(dropout_p), not generic)
+
+    o, lse = pl.pallas_call(
+        functools.partial(_varlen_sched_kernel, meta),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(h // bh, T),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((bh, bq, dv), q_map),
+                pl.BlockSpec((bh, bq, LANES), q_map),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bh, bq, dv), jnp.float32),
+                pltpu.VMEM((bh, bq, LANES), jnp.float32),
+                pltpu.VMEM((bh, bq, LANES), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((h, total_q_p, dv), q.dtype),
+            jax.ShapeDtypeStruct((h, total_q_p, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=use_interpret(),
+    )(qi_tab, ki_tab, fl_tab, *inputs)
+    return jnp.swapaxes(o, 0, 1), lse[..., 0]
+
+
+def _sched_t_max(nq, nk, causal, bq, bk, same_stream):
+    """Static worst-case schedule length."""
+    if causal and same_stream:
+        t = sum(min(nk, ((qi + 1) * bq - 1) // bk + 1) for qi in range(nq))
+        return t
+    return nq * nk
+
+
+@functools.partial(
+    jax.custom_vjp,
+    nondiff_argnums=(5, 6, 7, 8, 9, 10, 12, 13),
+)
+def _sched_core(q, k, v, cu_q, cu_k, max_sq, max_sk, scale, causal, window,
+                softcap, slopes, dropout_p, same_stream, dropout_seed):
+    o, _ = _sched_fwd_impl(q, k, v, cu_q, cu_k, max_sq, max_sk, scale,
+                           causal, window, softcap, slopes, dropout_p,
+                           same_stream, dropout_seed)
+    return o
+
+
+def _sched_fwd_impl(q, k, v, cu_q, cu_k, max_sq, max_sk, scale, causal,
+                    window, softcap, slopes, dropout_p, same_stream,
+                    dropout_seed, bq=512, bk=512, bh=4):
+    total_q, h, d = q.shape
+    total_k = k.shape[0]
+    tq_p = round_up(max(total_q, bq), bq)
+    tk_p = round_up(max(total_k, bk), bk)
+
+    def pad_t(x, t):
+        return (jnp.pad(x, ((0, t - x.shape[0]), (0, 0), (0, 0)))
+                if x.shape[0] != t else x)
+
+    q_p, k_p, v_p = pad_t(q, tq_p), pad_t(k, tk_p), pad_t(v, tk_p)
+    cu_q32 = jnp.asarray(cu_q, jnp.int32)
+    cu_k32 = jnp.asarray(cu_k, jnp.int32)
+    qa = token_aux(cu_q32, total_q, tq_p)
+    ka = token_aux(cu_k32, total_k, tk_p)
+    nk = tk_p // bk
+    ka_rows = jnp.broadcast_to(
+        ka.reshape(nk, 1, bk), (nk, STAT, bk)).reshape(nk, STAT, bk)
+    T = _sched_t_max(tq_p // bq, nk, causal, bq, bk, same_stream)
+    qi_tab, ki_tab, fl_tab = build_varlen_schedule(
+        cu_q32, cu_k32, tq_p, tk_p, bq=bq, bk=bk, causal=causal,
+        window=window, T_max=T,
+    )
+    o, lse = _varlen_sched_fwd(
+        q_p, k_p, v_p, cu_q32, cu_k32, qa, ka_rows, qi_tab, ki_tab, fl_tab,
+        scale=scale, causal=causal, window=window, softcap=softcap,
+        alibi_slopes=slopes, dropout_p=dropout_p, dropout_seed=dropout_seed,
+        bq=bq, bk=bk, bh=bh,
+    )
+    return o[:total_q], lse[:, :total_q]
+
+
+def _sched_core_fwd(q, k, v, cu_q, cu_k, max_sq, max_sk, scale, causal,
+                    window, softcap, slopes, dropout_p, same_stream,
+                    dropout_seed):
+    o, lse = _sched_fwd_impl(q, k, v, cu_q, cu_k, max_sq, max_sk, scale,
+                             causal, window, softcap, slopes, dropout_p,
+                             same_stream, dropout_seed)
+    return o, (q, k, v, cu_q, cu_k, o, lse, slopes, dropout_seed)
+
+
+def _sched_core_bwd(max_sq, max_sk, scale, causal, window, softcap,
+                    dropout_p, same_stream, res, do):
+    """Backward via the padded deterministic kernels: gather the packed
+    streams (and the packed-forward's o/lse) into (b, max_s) layout, run
+    `flash_attn_bwd_bhsd` with per-sequence seqused, scatter grads back."""
+    from flash_attn_tpu.kernels.flash_bwd import flash_attn_bwd_bhsd
+
+    if dropout_p > 0.0:
+        raise NotImplementedError(
+            "gradients through the scheduled packed-varlen forward with "
+            "dropout are not supported (the packed keep-mask hash differs "
+            "from the padded backward's); use flash_attn_varlen_func, "
+            "which routes dropout to the padded path")
+    q, k, v, cu_q, cu_k, o, lse, slopes, dropout_seed = res
+    total_q, h, d = q.shape
+    total_k = k.shape[0]
+    b = cu_q.shape[0] - 1
+    lens_q = cu_q[1:] - cu_q[:-1]
+    lens_k = cu_k[1:] - cu_k[:-1]
+
+    def to_padded(x, cu, max_s, total):
+        idx = cu[:-1, None] + jnp.arange(max_s, dtype=jnp.int32)[None, :]
+        return x[jnp.minimum(idx, total - 1)]
+
+    qp = jnp.swapaxes(to_padded(q, cu_q, max_sq, total_q), 1, 2)
+    kp = jnp.swapaxes(to_padded(k, cu_k, max_sk, total_k), 1, 2)
+    vp = jnp.swapaxes(to_padded(v, cu_k, max_sk, total_k), 1, 2)
+    op = jnp.swapaxes(to_padded(o, cu_q, max_sq, total_q), 1, 2)
+    dop = jnp.swapaxes(to_padded(do, cu_q, max_sq, total_q), 1, 2)
+    # padded-layout lse: (b, h, max_sq); pad rows -> +inf (p == 0)
+    idx = cu_q[:-1, None] + jnp.arange(max_sq, dtype=jnp.int32)[None, :]
+    row_valid = (jnp.arange(max_sq, dtype=jnp.int32)[None, :]
+                 < lens_q[:, None])
+    lse_p = lse[:, jnp.minimum(idx, total_q - 1)]      # (h, b, max_sq)
+    lse_p = jnp.swapaxes(lse_p, 0, 1)
+    lse_p = jnp.where(row_valid[:, None, :], lse_p, jnp.inf)
+
+    dq, dk, dv = flash_attn_bwd_bhsd(
+        dop, qp, kp, vp, op, lse_p, lens_q, lens_k,
+        softmax_scale=scale, causal=causal, window_size=window,
+        softcap=softcap, alibi_slopes=slopes, dropout_p=dropout_p,
+        dropout_seed=dropout_seed,
+    )
+
+    def to_packed(xp, cu, total, max_s, lens):
+        seg = jnp.clip(
+            jnp.searchsorted(cu, jnp.arange(total, dtype=jnp.int32),
+                             side="right").astype(jnp.int32) - 1,
+            0, b - 1)
+        pos = jnp.arange(total, dtype=jnp.int32) - cu[seg]
+        return jnp.swapaxes(xp, 1, 2)[seg, jnp.clip(pos, 0, max_s - 1)]
+
+    gq = to_packed(dq, cu_q, total_q, max_sq, lens_q)
+    gk = to_packed(dk, cu_k, total_k, max_sk, lens_k)
+    gv = to_packed(dv, cu_k, total_k, max_sk, lens_k)
+    return gq, gk, gv, None, None, None, None
+
+
+_sched_core.defvjp(_sched_core_fwd, _sched_core_bwd)
+
+
+def flash_attn_varlen_sched_func(
+    q, k, v, cu_seqlens_q, cu_seqlens_k, max_seqlen_q=None,
+    max_seqlen_k=None, *, softmax_scale=None, causal=False,
+    window_size=(-1, -1), softcap=0.0, alibi_slopes=None, dropout_p=0.0,
+    dropout_seed=None,
+):
+    """First-class packed varlen attention (scheduled grid).
+
+    q: (total_q, h, d); k/v: (total_k, hk, d); cu_seqlens: (b+1,) int32.
+    Dropout uses packed-stream positions for its keep-mask hash.  The
+    dropout/mask semantics need per-sequence lengths <= 65535 (aux words);
+    callers route longer sequences to the padded path."""
+    total_q, h, d = q.shape
+    if softmax_scale is None:
+        softmax_scale = 1.0 / math.sqrt(d)
+    for name, ms in (("q", max_seqlen_q), ("k", max_seqlen_k)):
+        if ms is not None and int(ms) > _POS_MASK:
+            raise ValueError(
+                f"packed varlen supports per-sequence lengths up to "
+                f"{_POS_MASK}; max_seqlen_{name}={int(ms)} exceeds it")
+    same_stream = cu_seqlens_q is cu_seqlens_k
+    slopes = (None if alibi_slopes is None
+              else jnp.asarray(alibi_slopes, jnp.float32).reshape(h))
+    if max_seqlen_q is None or max_seqlen_k is None:
+        raise ValueError("max_seqlen_q/max_seqlen_k are required")
+    return _sched_core(
+        q, k, v, jnp.asarray(cu_seqlens_q, jnp.int32),
+        jnp.asarray(cu_seqlens_k, jnp.int32), int(max_seqlen_q),
+        int(max_seqlen_k), float(softmax_scale), bool(causal),
+        (int(window_size[0]), int(window_size[1])), float(softcap),
+        slopes, float(dropout_p), bool(same_stream), dropout_seed,
+    )

@@ -1,0 +1,169 @@
+"""Scheduled-grid packed varlen kernel (kernels/varlen_sched.py) — the
+first-class varlen path: schedule construction, feature coverage
+(softcap/alibi/window), gradients via the hybrid padded backward, and
+router integration (reference: `mha_varlen_fwd`,
+`csrc/flash_attn/flash_api.cpp:515`; tile scheduling
+`hopper/tile_scheduler.hpp:493`)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attn_tpu import flash_attn_varlen_func
+from flash_attn_tpu.kernels.varlen_sched import (
+    build_varlen_schedule,
+    flash_attn_varlen_sched_func,
+)
+from flash_attn_tpu.utils.testing import attention_ref, check_close
+
+
+def ref_per_seq(q, k, v, cu_q, cu_k, **kw):
+    outs, outs_pt = [], []
+    cq, ck = np.asarray(cu_q), np.asarray(cu_k)
+    for i in range(len(cq) - 1):
+        qi = q[cq[i]:cq[i + 1]][None]
+        ki = k[ck[i]:ck[i + 1]][None]
+        vi = v[ck[i]:ck[i + 1]][None]
+        if qi.shape[1] == 0:
+            continue
+        if ki.shape[1] == 0:
+            outs.append(jnp.zeros_like(qi[0]))
+            outs_pt.append(jnp.zeros_like(qi[0]))
+            continue
+        outs.append(attention_ref(qi, ki, vi, **kw)[0][0])
+        outs_pt.append(attention_ref(qi, ki, vi, upcast=False,
+                                     reorder_ops=True, **kw)[0][0])
+    return jnp.concatenate(outs, 0), jnp.concatenate(outs_pt, 0)
+
+
+def mk(lens, h=2, d=64, seed=0, dtype=jnp.bfloat16):
+    rng = np.random.default_rng(seed)
+    total = sum(lens)
+    cu = jnp.asarray(np.cumsum([0] + lens), jnp.int32)
+    mkx = lambda: jnp.asarray(rng.standard_normal((total, h, d)), dtype)
+    return mkx(), mkx(), mkx(), cu
+
+
+def test_schedule_tables():
+    """Schedule covers exactly the needed pairs, row-major, with coherent
+    FIRST/LAST flags."""
+    cu = jnp.asarray([0, 100, 160], jnp.int32)
+    bq = bk = 64
+    qi, ki, fl = build_varlen_schedule(
+        cu, cu, 192, 192, bq=bq, bk=bk, causal=True, window=(-1, -1),
+        T_max=9)
+    qi, ki, fl = map(np.asarray, (qi, ki, fl))
+    real = fl != 8  # not EMPTY-padding
+    # seq0 covers blocks 0..1 of q and k; q block 1 straddles seq0/seq1
+    # every real q block present and each has exactly one FIRST and LAST
+    for qb in range(3):
+        rows = (qi == qb) & real
+        assert rows.any(), qb
+        assert ((fl[rows] & 1) != 0).sum() == 1
+        assert ((fl[rows] & 2) != 0).sum() == 1
+    # row-major ordering among real entries
+    keys = qi[real] * 3 + ki[real]
+    assert (np.diff(keys) > 0).all()
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_sched_matches_oracle(causal):
+    lens = [200, 32, 96, 8]
+    q, k, v, cu = mk(lens, seed=1)
+    out = flash_attn_varlen_sched_func(
+        q, k, v, cu, cu, max(lens), max(lens), causal=causal)
+    ref, pt = ref_per_seq(q, k, v, cu, cu, causal=causal)
+    check_close(out, ref, pt, atol_floor=8e-3)
+
+
+def test_sched_features():
+    """softcap / alibi / window — the round-1 packed-path gaps."""
+    lens = [130, 70]
+    h = 2
+    q, k, v, cu = mk(lens, h=h, seed=2)
+    slopes = jnp.asarray([0.08, 0.01], jnp.float32)
+    from flash_attn_tpu.utils.testing import attn_bias_from_alibi_slopes
+
+    # alibi
+    out = flash_attn_varlen_sched_func(
+        q, k, v, cu, cu, max(lens), max(lens), causal=True,
+        alibi_slopes=slopes)
+    cq = np.asarray(cu)
+    for i in range(len(lens)):
+        qi = q[cq[i]:cq[i + 1]][None]
+        ki = k[cq[i]:cq[i + 1]][None]
+        vi = v[cq[i]:cq[i + 1]][None]
+        bias = attn_bias_from_alibi_slopes(
+            slopes[None], qi.shape[1], ki.shape[1], causal=True)
+        ref = attention_ref(qi, ki, vi, attn_bias=bias, causal=True)[0][0]
+        pt = attention_ref(qi, ki, vi, attn_bias=bias, causal=True,
+                           upcast=False, reorder_ops=True)[0][0]
+        check_close(out[cq[i]:cq[i + 1]], ref, pt, atol_floor=8e-3)
+    # softcap
+    out = flash_attn_varlen_sched_func(
+        q, k, v, cu, cu, max(lens), max(lens), causal=True, softcap=25.0)
+    ref, pt = ref_per_seq(q, k, v, cu, cu, causal=True, softcap=25.0)
+    check_close(out, ref, pt, atol_floor=8e-3)
+    # sliding window
+    out = flash_attn_varlen_sched_func(
+        q, k, v, cu, cu, max(lens), max(lens), window_size=(48, 16))
+    ref, pt = ref_per_seq(q, k, v, cu, cu, window_size=(48, 16))
+    check_close(out, ref, pt, atol_floor=8e-3)
+
+
+def test_sched_grads():
+    lens = [96, 40, 120]
+    q, k, v, cu = mk(lens, seed=3, dtype=jnp.float32)
+    do = jnp.asarray(
+        np.random.default_rng(9).standard_normal(q.shape), jnp.float32)
+
+    def loss(q, k, v):
+        o = flash_attn_varlen_sched_func(
+            q, k, v, cu, cu, max(lens), max(lens), causal=True)
+        return jnp.sum(o * do)
+
+    gq, gk, gv = jax.grad(loss, (0, 1, 2))(q, k, v)
+
+    def loss_ref(q, k, v):
+        cq = np.asarray(cu)
+        t = 0.0
+        for i in range(len(lens)):
+            qi = q[cq[i]:cq[i + 1]][None]
+            o = attention_ref(qi, k[cq[i]:cq[i + 1]][None],
+                              v[cq[i]:cq[i + 1]][None], causal=True)[0][0]
+            t = t + jnp.sum(o * do[cq[i]:cq[i + 1]])
+        return t
+
+    rq, rk, rv = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
+    for n, a, b in [("dq", gq, rq), ("dk", gk, rk), ("dv", gv, rv)]:
+        assert float(jnp.abs(a - b).max()) < 2e-3, n
+
+
+def test_router_uses_sched_path():
+    """flash_attn_varlen_func routes ragged batches (now incl. softcap)
+    to the scheduled kernel and matches the oracle."""
+    lens = [200, 16, 16, 16]
+    q, k, v, cu = mk(lens, seed=4)
+    out = flash_attn_varlen_func(q, k, v, cu, cu, max(lens), max(lens),
+                                 causal=True, softcap=30.0)
+    ref, pt = ref_per_seq(q, k, v, cu, cu, causal=True, softcap=30.0)
+    check_close(out, ref, pt, atol_floor=8e-3)
+
+
+def test_sched_cross_attention_lengths():
+    """cu_seqlens_q != cu_seqlens_k (cross attention, bottom-right
+    causal)."""
+    rng = np.random.default_rng(5)
+    lens_q = [64, 32]
+    lens_k = [128, 80]
+    h, d = 2, 64
+    cu_q = jnp.asarray(np.cumsum([0] + lens_q), jnp.int32)
+    cu_k = jnp.asarray(np.cumsum([0] + lens_k), jnp.int32)
+    q = jnp.asarray(rng.standard_normal((sum(lens_q), h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((sum(lens_k), h, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((sum(lens_k), h, d)), jnp.bfloat16)
+    out = flash_attn_varlen_sched_func(
+        q, k, v, cu_q, cu_k, max(lens_q), max(lens_k), causal=True)
+    ref, pt = ref_per_seq(q, k, v, cu_q, cu_k, causal=True)
+    check_close(out, ref, pt, atol_floor=8e-3)
