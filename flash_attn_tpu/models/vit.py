@@ -28,6 +28,7 @@ class VisionTransformer(nn.Module):
     mlp_ratio: float = 4.0
     class_token: bool = True
     global_pool: str = "token"  # or "avg"
+    use_flash_attn: bool = True
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -49,7 +50,8 @@ class VisionTransformer(nn.Module):
             )
         mixer_cls = functools.partial(
             MHA, embed_dim=self.embed_dim, num_heads=self.num_heads,
-            causal=False, use_flash_attn=True, dtype=self.dtype,
+            causal=False, use_flash_attn=self.use_flash_attn,
+            dtype=self.dtype,
         )
         mlp_cls = functools.partial(
             Mlp, hidden_features=int(self.embed_dim * self.mlp_ratio),

@@ -7,6 +7,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy interpret-mode loops; smoke tier skips
+
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from flash_attn_tpu.models.gpt import GPTLMHeadModel, gpt_partition_specs

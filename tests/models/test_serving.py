@@ -2,10 +2,14 @@
 decode batch must reproduce per-request greedy decode exactly."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 from flash_attn_tpu.models.gpt import GPTLMHeadModel
+
+pytestmark = pytest.mark.slow  # heavy interpret-mode loops; smoke tier skips
+
 from flash_attn_tpu.serving import ServingEngine
 from flash_attn_tpu.utils.generation import decode
 
