@@ -108,3 +108,74 @@ def test_sharded_attention_seq_parallel(causal):
     pt, _ = attention_ref(q, k, v, causal=causal, upcast=False,
                           reorder_ops=True)
     check_close(out, ref, pt)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_cross_lengths(causal):
+    """sq != sk (bottom-right causal) — the round-1 assert is gone."""
+    mesh = make_mesh((4,), ("seq",))
+    rng = np.random.default_rng(3)
+    b, sq, sk, h, d = 1, 128, 256, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, sk, h, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, sk, h, d)), jnp.bfloat16)
+    out = jax.jit(
+        lambda q, k, v: ring_flash_attn_func(
+            mesh, q, k, v, batch_axis=None, head_axis=None, causal=causal)
+    )(q, k, v)
+    ref, _ = attention_ref(q, k, v, causal=causal)
+    pt, _ = attention_ref(q, k, v, causal=causal, upcast=False,
+                          reorder_ops=True)
+    check_close(out, ref, pt)
+
+
+def test_ring_gqa():
+    mesh = make_mesh((4,), ("seq",))
+    q, k, v = make_inputs(h=4, hk=2, seed=5)
+    out = jax.jit(
+        lambda q, k, v: ring_flash_attn_func(
+            mesh, q, k, v, batch_axis=None, head_axis=None, causal=True)
+    )(q, k, v)
+    ref, _ = attention_ref(q, k, v, causal=True)
+    pt, _ = attention_ref(q, k, v, causal=True, upcast=False,
+                          reorder_ops=True)
+    check_close(out, ref, pt)
+
+
+def test_ring_zigzag_causal():
+    """Zigzag chunk assignment balances the causal ring; results must be
+    identical to dense attention after un-permuting."""
+    from flash_attn_tpu.parallel.ring_attention import (
+        zigzag_permute,
+        zigzag_unpermute,
+    )
+
+    mesh = make_mesh((4,), ("seq",))
+    n = 4
+    q, k, v = make_inputs(b=1, s=256, h=2, hk=2, seed=6)
+    qz = zigzag_permute(q, n)
+    kz = zigzag_permute(k, n)
+    vz = zigzag_permute(v, n)
+    out_z = jax.jit(
+        lambda q, k, v: ring_flash_attn_func(
+            mesh, q, k, v, batch_axis=None, head_axis=None, causal=True,
+            zigzag=True)
+    )(qz, kz, vz)
+    out = zigzag_unpermute(out_z, n)
+    ref, _ = attention_ref(q, k, v, causal=True)
+    pt, _ = attention_ref(q, k, v, causal=True, upcast=False,
+                          reorder_ops=True)
+    # 4 merge orders per hop differ from the dense accumulation order;
+    # bf16 needs the usual ~1-ulp absolute floor
+    check_close(out, ref, pt, atol_floor=8e-3)
+
+
+def test_zigzag_permute_roundtrip():
+    from flash_attn_tpu.parallel.ring_attention import (
+        zigzag_permute,
+        zigzag_unpermute,
+    )
+
+    x = jnp.arange(2 * 64 * 3).reshape(2, 64, 3)
+    y = zigzag_unpermute(zigzag_permute(x, 4), 4)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
