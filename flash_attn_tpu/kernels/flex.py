@@ -492,7 +492,11 @@ def _flex_bwd_dq_kernel(
     else:
         qa_ref = ka_ref = None
     bias_ref = refs.pop(0) if has_bias else None
-    dq_ref, dq_acc = refs
+    if has_bias:
+        dq_ref, dbias_ref, dq_acc = refs
+    else:
+        dq_ref, dq_acc = refs
+        dbias_ref = None
     b = pl.program_id(0)
     h = pl.program_id(1)
     qi = pl.program_id(2)
@@ -526,12 +530,19 @@ def _flex_bwd_dq_kernel(
         s_raw = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        bias_blk = bias_ref[0, 0].astype(jnp.float32) if has_bias else None
-        s, mod_vjp = jax.vjp(
-            lambda t: _mod_score(scale, score_mod, t, b, h, rows, cols, aux,
-                                 bias_blk),
-            s_raw,
-        )
+        if has_bias:
+            bias_blk = bias_ref[0, 0].astype(jnp.float32)
+            s, mod_vjp = jax.vjp(
+                lambda t, bb: _mod_score(scale, score_mod, t, b, h, rows,
+                                         cols, aux, bb),
+                s_raw, bias_blk,
+            )
+        else:
+            s, mod_vjp = jax.vjp(
+                lambda t: _mod_score(scale, score_mod, t, b, h, rows, cols,
+                                     aux, None),
+                s_raw,
+            )
         if masked:
             keep = cols < sk_real
             if mask_mod is not None:
@@ -542,7 +553,11 @@ def _flex_bwd_dq_kernel(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         ds = pmat * (dp - delta_row)
-        (ds,) = mod_vjp(ds)
+        if has_bias:
+            ds, dbias_blk = mod_vjp(ds)
+            dbias_ref[0, 0] = dbias_blk
+        else:
+            (ds,) = mod_vjp(ds)
         dq_acc[...] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -738,7 +753,18 @@ def _flex_bwd(
         ))
         inputs.append(bias)
 
-    dq = pl.pallas_call(
+    out_specs_dq = pl.BlockSpec((1, 1, bq, d), q_map)
+    out_shape_dq = jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype)
+    if has_bias:
+        def dbias_map(b_, h_, qi, ki, *refs):
+            return (b_, h_, qi, kv_blk_of(b_, h_, qi, ki, *refs))
+
+        out_specs_dq = [out_specs_dq,
+                        pl.BlockSpec((1, 1, bq, bk), dbias_map)]
+        out_shape_dq = [out_shape_dq,
+                        jax.ShapeDtypeStruct((b, h, sq_p, sk_p),
+                                             jnp.float32)]
+    dq_out = pl.pallas_call(
         functools.partial(
             _flex_bwd_dq_kernel, scale, score_mod, mask_mod, g, bq, bk, sk,
             has_aux, has_bias,
@@ -747,16 +773,36 @@ def _flex_bwd(
             num_scalar_prefetch=4,
             grid=(b, h, nq, nk),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 1, bq, d), q_map),
+            out_specs=out_specs_dq,
             scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+        out_shape=out_shape_dq,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=use_interpret(),
     )(mask.kv_num, mask.kv_idx, mask.full_kv_num, mask.full_kv_idx, *inputs)
+    if has_bias:
+        dq, dbias_full = dq_out
+        # blocks never visited were never written: zero them via the
+        # block lists (their true dbias is 0 — p vanishes there)
+        L = mask.kv_idx.shape[-1]
+        Lf = mask.full_kv_idx.shape[-1]
+        valid_p = jnp.arange(L) < mask.kv_num[..., None]
+        valid_f = jnp.arange(Lf) < mask.full_kv_num[..., None]
+        vis = jnp.zeros((b, h, nq, nk), bool)
+        vis = vis | jnp.any(
+            jax.nn.one_hot(mask.kv_idx, nk, dtype=bool)
+            & valid_p[..., None], axis=-2)
+        vis = vis | jnp.any(
+            jax.nn.one_hot(mask.full_kv_idx, nk, dtype=bool)
+            & valid_f[..., None], axis=-2)
+        vis_el = jnp.repeat(jnp.repeat(vis, bq, axis=2), bk, axis=3)
+        dbias_full = jnp.where(vis_el, dbias_full, 0.0)
+    else:
+        dq = dq_out
+        dbias_full = None
 
     # ---- dKV: grid (b, hk, nk, nq * g) over the q block lists ----
     def q_blk_of(b_, hk_, ki, t, qn_ref, qi_ref, fqn_ref, fqi_ref):
@@ -832,7 +878,15 @@ def _flex_bwd(
         ),
         interpret=use_interpret(),
     )(mask.q_num, mask.q_idx, mask.full_q_num, mask.full_q_idx, *inputs2)
-    return dq[:, :, :sq, :], dk[:, :, :sk, :], dv[:, :, :sk, :]
+    dbias = None
+    if has_bias:
+        dbias = dbias_full[:, :, :sq, :sk]
+        # reduce over broadcast dims back to the bias's own shape
+        if bb == 1:
+            dbias = jnp.sum(dbias, axis=0, keepdims=True)
+        if bh_ == 1:
+            dbias = jnp.sum(dbias, axis=1, keepdims=True)
+    return dq[:, :, :sq, :], dk[:, :, :sk, :], dv[:, :, :sk, :], dbias
 
 
 # ---------------------------------------------------------------------------
@@ -877,7 +931,9 @@ def flex_attention(
     `attn_bias`: additive (b|1, h|1, sq, sk) score bias streamed block-wise
     (the role of the legacy Triton FA's bias support,
     `flash_attn/flash_attn_triton.py`); applied after scaling, before the
-    mods.  Gradients flow to q/k/v but not (yet) to the bias.
+    mods.  Fully differentiable: d(loss)/d(attn_bias) is computed by the
+    backward (broadcast dims are sum-reduced), matching the Triton FA's
+    dbias.
     """
     b, sq, h, d = q.shape
     sk = k.shape[1]
@@ -918,7 +974,7 @@ def flex_attention(
         do, _dlse = cts
         qt, kt, vt, o, lse, bm, auxes = res
         qa, ka, bias = unpack_aux(auxes)
-        dq, dk, dv = _flex_bwd(
+        dq, dk, dv, dbias = _flex_bwd(
             do, qt, kt, vt, o, lse, bm, score_mod, mask_mod, scale,
             q_aux=qa, kv_aux=ka, bias=bias,
         )
@@ -929,7 +985,10 @@ def flex_attention(
             return np.zeros(x.shape, jax.dtypes.float0)
 
         dbm = jax.tree_util.tree_map(zero_ct, bm)
-        dauxes = tuple(zero_ct(jnp.asarray(a)) for a in auxes)
+        dauxes = [zero_ct(jnp.asarray(a)) for a in auxes]
+        if has_bias and dbias is not None:
+            # the bias rides last in aux_list; return its real gradient
+            dauxes[-1] = dbias.astype(jnp.asarray(auxes[-1]).dtype)
         return (dq, dk, dv, dbm, *dauxes)
 
     core.defvjp(core_fwd, core_bwd)

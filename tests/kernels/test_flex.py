@@ -307,3 +307,33 @@ def test_flex_attn_bias_tensor():
     dp = jax.grad(functools.partial(lr, up=False, ro=True), (0, 1, 2))(q, k, v)
     for a, r, pt in zip(df, dr, dp):
         check_close(a, r, pt)
+
+
+def test_flex_dbias():
+    """attn_bias gradients (round-1 gap; reference Triton FA returns
+    dbias, `flash_attn/flash_attn_triton.py`), including broadcast-dim
+    reduction and block sparsity."""
+    rng = np.random.default_rng(11)
+    b, s, h, d = 2, 128, 4, 64
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    do = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    for bb, bh in [(2, 4), (1, 1)]:
+        bias = jnp.asarray(rng.standard_normal((bb, bh, s, s)) * 0.5,
+                           jnp.float32)
+
+        def loss(q, k, v, bias):
+            return jnp.sum(flex_attention(
+                q, k, v, attn_bias=bias, block_q=64, block_k=64) * do)
+
+        g = jax.grad(loss, 3)(q, k, v, bias)
+
+        def loss_ref(q, k, v, bias):
+            o, _ = attention_ref(
+                q, k, v, attn_bias=jnp.broadcast_to(bias, (b, h, s, s)))
+            return jnp.sum(o * do)
+
+        gr = jax.grad(loss_ref, 3)(q, k, v, bias)
+        assert g.shape == bias.shape
+        assert float(jnp.abs(g - gr).max()) < 2e-3, (bb, bh)
