@@ -392,11 +392,21 @@ def _varlen_sched_fwd(
     return jnp.swapaxes(o, 0, 1), lse[..., 0]
 
 
-def _sched_t_max(nq, nk, causal, bq, bk, same_stream):
-    """Static worst-case schedule length."""
+def _sched_t_max(nq, nk, causal, bq, bk, same_stream, nseq):
+    """Static worst-case schedule length.
+
+    Causal same-stream: pairs at or below the global block diagonal are
+    bounded by the triangle; pairs ABOVE it survive pruning only when the
+    q or kv block straddles a segment boundary (a one-segment
+    above-diagonal pair is fully masked and pruned), and there are at
+    most nseq-1 straddling blocks on each side — each contributing at
+    most a full row/column of pairs.  Everything else: full rectangle.
+    """
     if causal and same_stream:
-        t = sum(min(nk, ((qi + 1) * bq - 1) // bk + 1) for qi in range(nq))
-        return t
+        tri = sum(min(nk, ((qi + 1) * bq - 1) // bk + 1)
+                  for qi in range(nq))
+        straddle = max(nseq - 1, 0) * (nq + nk)
+        return min(nq * nk, tri + straddle)
     return nq * nk
 
 
@@ -432,7 +442,8 @@ def _sched_fwd_impl(q, k, v, cu_q, cu_k, max_sq, max_sk, scale, causal,
     nk = tk_p // bk
     ka_rows = jnp.broadcast_to(
         ka.reshape(nk, 1, bk), (nk, STAT, bk)).reshape(nk, STAT, bk)
-    T = _sched_t_max(tq_p // bq, nk, causal, bq, bk, same_stream)
+    T = _sched_t_max(tq_p // bq, nk, causal, bq, bk, same_stream,
+                     int(cu_q32.shape[0]) - 1)
     qi_tab, ki_tab, fl_tab = build_varlen_schedule(
         cu_q32, cu_k32, tq_p, tk_p, bq=bq, bk=bk, causal=causal,
         window=window, T_max=T,

@@ -167,3 +167,30 @@ def test_sched_cross_attention_lengths():
         q, k, v, cu_q, cu_k, max(lens_q), max(lens_k), causal=True)
     ref, pt = ref_per_seq(q, k, v, cu_q, cu_k, causal=True)
     check_close(out, ref, pt, atol_floor=8e-3)
+
+
+def test_sched_multi_block_straddle():
+    """Regression: sequences straddling block boundaries create
+    above-diagonal needed pairs that the causal triangle alone
+    undercounts — the table must not truncate (found by on-TPU verify:
+    the final q block's LAST entry was dropped and it never finalized)."""
+    lens = [700, 120, 50, 200]  # total 1070: seq3 crosses the 1024 line
+    q, k, v, cu = mk(lens, h=2, d=64, seed=7)
+    out = flash_attn_varlen_sched_func(
+        q, k, v, cu, cu, max(lens), max(lens), causal=True)
+    ref, pt = ref_per_seq(q, k, v, cu, cu, causal=True)
+    check_close(out, ref, pt, atol_floor=8e-3)
+    # schedule invariant: every in-range q block has exactly one LAST
+    from flash_attn_tpu.kernels.varlen_sched import (
+        _sched_t_max,
+        build_varlen_schedule,
+    )
+
+    T = _sched_t_max(3, 3, True, 512, 512, True, len(lens))
+    qi, ki, fl = build_varlen_schedule(
+        cu, cu, 1536, 1536, bq=512, bk=512, causal=True, window=(-1, -1),
+        T_max=T)
+    qi, fl = np.asarray(qi), np.asarray(fl)
+    real = fl != 8
+    for qb in range(3):
+        assert ((fl[(qi == qb) & real] & 2) != 0).sum() == 1, qb
