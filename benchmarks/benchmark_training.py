@@ -26,20 +26,27 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--large", action="store_true",
+                    help="~870M params (n_embd 2048), batch 4")
     ap.add_argument("--seqlen", type=int, default=2048)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--remat", action="store_true",
+                    help="per-block activation checkpointing")
     args = ap.parse_args()
 
     import optax
     from transformers import GPT2Config
 
-    from flash_attn_tpu.losses.cross_entropy import cross_entropy_loss
     from flash_attn_tpu.models.gpt import GPTLMHeadModel
+    from flash_attn_tpu.training.loss import chunked_lm_loss
     from flash_attn_tpu.utils.benchmark import benchmark_chained
 
     if args.quick:
         n_embd, n_layer, n_head, vocab = 512, 4, 8, 32000
         b, s = 2, 1024
+    elif args.large:
+        n_embd, n_layer, n_head, vocab = 2048, 16, 16, 32768
+        b, s = min(args.batch, 4), args.seqlen
     else:
         # ~350M params: the largest that fits one v5e core with optimizer
         # state at seq 2048 comfortably
@@ -58,7 +65,8 @@ def main():
     cfg.mlp_fc1_bias = False
     cfg.mlp_fc2_bias = False
     cfg.residual_in_fp32 = True
-    cfg.tie_word_embeddings = False
+    cfg.tie_word_embeddings = bool(args.large)
+    cfg.remat_blocks = args.remat
 
     model = GPTLMHeadModel(cfg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
@@ -70,12 +78,8 @@ def main():
     opt_state = opt.init(params)
 
     def loss_fn(params, batch):
-        logits = model.apply(params, batch[:, :-1]).logits
-        losses, _ = cross_entropy_loss(
-            logits.reshape(-1, vocab).astype(jnp.float32),
-            batch[:, 1:].reshape(-1),
-        )
-        return jnp.mean(losses)
+        # chunked LM-head CE: never materialises (b*s, vocab) fp32 logits
+        return chunked_lm_loss(model, params, batch, chunk_tokens=16384)
 
     def train_step(carry, batch):
         params, opt_state = carry
@@ -85,7 +89,8 @@ def main():
         return (params, opt_state)
 
     dt = benchmark_chained(train_step, (params, opt_state), ids,
-                           iters=4 if args.quick else 8, reps=3)
+                           iters=4 if args.quick else 8, reps=3,
+                           donate=True)
 
     tokens = b * s
     d_head = n_embd // n_head

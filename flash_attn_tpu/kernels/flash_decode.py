@@ -36,6 +36,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flash_attn_tpu.env import use_interpret
+
+# INT8 decode variant knob (benchmarking): 1 = dequantise slabs to bf16
+# per step instead of native int8 MXU matmuls.
+import os as _os
+
+_INT8_CAST = _os.environ.get("FLASH_ATTN_TPU_INT8_CAST", "") == "1"
+# 1 = keep native int8 QK^T but cast the V slab to bf16 and run PV in
+# bf16 (skips the probability-tile int8 quantisation).
+_INT8_PV_CAST = _os.environ.get("FLASH_ATTN_TPU_INT8_PV", "") == "1"
+
 from flash_attn_tpu.kernels.block_sizes import cdiv, round_up
 from flash_attn_tpu.kernels.combine import combine_attn_partials
 from flash_attn_tpu.kernels.flash_fwd import LOG2E, MASK_VALUE, flash_attn_fwd_bhsd
@@ -213,7 +223,7 @@ def decode_attn_bhsd(
     cache_batch_idx=None,
     cache_leftpad=None,
     num_splits: int = 1,
-    block_k: int = 512,
+    block_k: int = 1024,
     attention_chunk: int = 0,
 ):
     """Split-KV decode attention on native layouts.
@@ -443,9 +453,12 @@ def _decode_ref_kernel(p: DecodeParams, hk: int, *args):
 
         d = q_ref.shape[-1]
         dv = v_ref.shape[-1] // hk
-        if p.fp8_kv:
+        if p.fp8_kv or (p.int8_kv and _INT8_CAST):
             # dequantise the whole slab once per step (single wide cast)
             kslab = k_ref[0].astype(jnp.bfloat16)
+            vslab = v_ref[0].astype(jnp.bfloat16)
+        elif p.int8_kv and _INT8_PV_CAST:
+            kslab = k_ref[0]
             vslab = v_ref[0].astype(jnp.bfloat16)
         else:
             # int8: slabs stay int8 — the MXU consumes them natively
@@ -457,12 +470,18 @@ def _decode_ref_kernel(p: DecodeParams, hk: int, *args):
             # (d is a multiple of the 128-lane tile)
             k = kslab[:, h * d:(h + 1) * d]      # (bk, d)
             v = vslab[:, h * dv:(h + 1) * dv]
-            if p.int8_kv:
+            if p.int8_kv and not _INT8_CAST:
                 st = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 ).astype(jnp.float32)
                 st = st * (p.scale * qs_ref[b, h] * kd_ref[b, h])
+            elif p.int8_kv:
+                st = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                st = st * (p.scale * kd_ref[b, h])
             else:
                 st = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
@@ -490,7 +509,12 @@ def _decode_ref_kernel(p: DecodeParams, hk: int, *args):
             l_curr = l_prev * alpha + jnp.sum(pmat, axis=1, keepdims=True)
             m_ref[h] = jnp.broadcast_to(m_curr, m_ref.shape[1:])
             l_ref[h] = jnp.broadcast_to(l_curr, l_ref.shape[1:])
-            if p.int8_kv:
+            if p.int8_kv and _INT8_PV_CAST:
+                pv = jax.lax.dot_general(
+                    pmat.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * vd_ref[b, h]
+            elif p.int8_kv and not _INT8_CAST:
                 # probability tile quantised to int8 (denominator l stays
                 # exact from the fp32 pmat)
                 pq = jnp.round(pmat * 127.0).astype(jnp.int8)
@@ -498,6 +522,11 @@ def _decode_ref_kernel(p: DecodeParams, hk: int, *args):
                     pq, v, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 ).astype(jnp.float32) * (vd_ref[b, h] * (1.0 / 127.0))
+            elif p.int8_kv:
+                pv = jax.lax.dot_general(
+                    pmat.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * vd_ref[b, h]
             else:
                 pv = jax.lax.dot_general(
                     pmat.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -541,7 +570,7 @@ def decode_attn_ref_layout(
     cache_batch_idx=None,
     cache_leftpad=None,
     num_splits: int = 1,
-    block_k: int = 512,
+    block_k: int = 1024,
     attention_chunk: int = 0,
     k_descale=None,
     v_descale=None,
@@ -568,8 +597,10 @@ def decode_attn_ref_layout(
         # bundle small pages: each grid step should stream >= ~512 KV rows
         # (only for the automatic-pipeline fallback; the manual pipeline
         # overlaps page DMAs itself)
-        bundle = 1 if use_pipe else (
-            max(1, 512 // block_k) if block_k < 512 else 1)
+        import os as _os2
+
+        target = int(_os2.environ.get("FLASH_ATTN_TPU_BUNDLE_ROWS", "1024"))
+        bundle = 1 if use_pipe else max(1, target // block_k)
     else:
         bc, smax, hk, _ = k_cache.shape
         block_k = min(block_k, round_up(smax, 8))
@@ -678,7 +709,10 @@ def decode_attn_ref_layout(
             inputs.append(ds)
         if use_pipe:
             use_pipe = False  # pipe kernel has no descale path yet
-    if p.int8_kv:
+    if p.int8_kv and _INT8_CAST:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(jnp.ones((b, hk), jnp.float32))  # qs placeholder
+    elif p.int8_kv:
         # per-(batch, kv-head) symmetric int8 quantisation of the packed Q
         amax = jnp.max(jnp.abs(qp.astype(jnp.float32)), axis=(2, 3))
         q_scale = jnp.maximum(amax, 1e-9) / 127.0  # (b, hk)

@@ -132,16 +132,23 @@ def create_block(config, layer_idx: int, dtype):
         norm_eps=_cfg(config, "layer_norm_epsilon", 1e-5),
         dtype=dtype,
     )
+    block_cls = ParallelBlock if _cfg(config, "parallel_block", False) \
+        else Block
+    if _cfg(config, "remat_blocks", False):
+        # per-layer activation checkpointing (rematerialise each block in
+        # the backward; the Lightning `gradient_checkpointing` role) —
+        # training-only flag, never set on decode paths
+        block_cls = nn.remat(block_cls)
     if _cfg(config, "parallel_block", False):
         return functools.partial(
-            ParallelBlock,
+            block_cls,
             mixer_cls=mixer_cls,
             mlp_cls=mlp_cls,
             tied_norm=_cfg(config, "parallel_block_tied_norm", False),
             **common,
         )
     return functools.partial(
-        Block,
+        block_cls,
         mixer_cls=mixer_cls,
         mlp_cls=mlp_cls,
         prenorm=_cfg(config, "prenorm", True),
@@ -212,7 +219,8 @@ class GPTModel(nn.Module):
                 else:
                     hidden_states, hidden_states2, residual = block(
                         hidden_states, hidden_states2, residual,
-                        deterministic=deterministic,
+                        **({} if deterministic
+                           else {"deterministic": False}),
                     )
             else:
                 if inference_params is not None:
@@ -222,7 +230,9 @@ class GPTModel(nn.Module):
                     )
                 else:
                     hidden_states, residual = block(
-                        hidden_states, residual, deterministic=deterministic,
+                        hidden_states, residual,
+                        **({} if deterministic
+                           else {"deterministic": False}),
                     )
 
         ln_f = self.ln_f

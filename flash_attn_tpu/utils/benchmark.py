@@ -31,25 +31,50 @@ def _scalarize(tree):
     return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
 
 
-def benchmark_chained(step_fn, carry, *consts, iters: int = 32, reps: int = 3):
+def benchmark_chained(step_fn, carry, *consts, iters: int = 32, reps: int = 3,
+                      donate: bool = False):
     """Median per-iteration seconds of `carry -> step_fn(carry, *consts)`.
 
     Large loop-invariant operands (weights, KV caches) must be passed via
     `consts`, NOT closed over — closure arrays are inlined into the HLO as
     literals and can overflow the remote-compile request.
+
+    `donate=True` donates the carry buffers between timing calls (halves
+    the resident state — needed when the carry is a full train state) but
+    INVALIDATES the caller's carry arrays.
     """
+    import functools
 
     def chain(n):
-        @jax.jit
         def run(c, *cs):
             c = jax.lax.fori_loop(
                 0, n, lambda i, c: step_fn(c, *cs), c
             )
-            return _scalarize(c)
+            return (c, _scalarize(c)) if donate else _scalarize(c)
 
-        return run
+        if donate:
+            return jax.jit(run, donate_argnums=0)
+        return jax.jit(run)
 
     g1, g2 = chain(iters), chain(2 * iters)
+    if donate:
+        c = carry
+        c, s = g1(c, *consts)
+        float(s)
+        c, s = g2(c, *consts)
+        float(s)
+        ds = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            c, s = g1(c, *consts)
+            float(s)
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            c, s = g2(c, *consts)
+            float(s)
+            t2 = time.perf_counter() - t0
+            ds.append((t2 - t1) / iters)
+        return float(np.median(ds))
     float(g1(carry, *consts))
     float(g2(carry, *consts))
     ds = []
