@@ -19,6 +19,7 @@
 // * plugin.so defaults to $PJRT_PLUGIN or /opt/axon/libaxon_pjrt.so.
 
 #include <dlfcn.h>
+#include <unistd.h>
 
 #include <cstdint>
 #include <cstdio>
@@ -124,9 +125,47 @@ int main(int argc, char** argv) {
     Check(api, api->PJRT_Plugin_Initialize(&ia), "plugin init");
   }
 
+  // Plugin create options (the axon plugin requires topology/session_id;
+  // a stock libtpu plugin ignores unknown options).  Overridable via env.
+  const char* topo = std::getenv("PJRT_TOPOLOGY");
+  if (!topo) topo = "v5e:1x1x1";
+  std::string session = "fa-pjrt-runner-";
+  session += std::to_string(::getpid());
+  const char* remote_compile_env = std::getenv("PALLAS_AXON_REMOTE_COMPILE");
+  bool remote_compile = remote_compile_env &&
+                        std::string(remote_compile_env) == "1";
+  std::vector<PJRT_NamedValue> opts;
+  auto add_str = [&](const char* name, const char* value) {
+    PJRT_NamedValue v;
+    std::memset(&v, 0, sizeof(v));
+    v.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+    v.name = name;
+    v.name_size = std::strlen(name);
+    v.type = PJRT_NamedValue_kString;
+    v.string_value = value;
+    v.value_size = std::strlen(value);
+    opts.push_back(v);
+  };
+  auto add_bool = [&](const char* name, bool value) {
+    PJRT_NamedValue v;
+    std::memset(&v, 0, sizeof(v));
+    v.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+    v.name = name;
+    v.name_size = std::strlen(name);
+    v.type = PJRT_NamedValue_kBool;
+    v.bool_value = value;
+    v.value_size = 1;
+    opts.push_back(v);
+  };
+  add_str("topology", topo);
+  add_str("session_id", session.c_str());
+  add_bool("remote_compile", remote_compile);
+
   PJRT_Client_Create_Args ca;
   std::memset(&ca, 0, sizeof(ca));
   ca.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+  ca.create_options = opts.data();
+  ca.num_options = opts.size();
   Check(api, api->PJRT_Client_Create(&ca), "client create");
   PJRT_Client* client = ca.client;
 
@@ -186,14 +225,14 @@ int main(int argc, char** argv) {
   PJRT_Buffer* const* arg_lists[1] = {argv_bufs};
   std::vector<PJRT_Buffer*> out_bufs(2, nullptr);
   PJRT_Buffer** out_lists[1] = {out_bufs.data()};
-  PJRT_ExecuteOptions opts;
-  std::memset(&opts, 0, sizeof(opts));
-  opts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
+  PJRT_ExecuteOptions exec_opts;
+  std::memset(&exec_opts, 0, sizeof(exec_opts));
+  exec_opts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
   PJRT_LoadedExecutable_Execute_Args xa;
   std::memset(&xa, 0, sizeof(xa));
   xa.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
   xa.executable = exe;
-  xa.options = &opts;
+  xa.options = &exec_opts;
   xa.argument_lists = arg_lists;
   xa.num_devices = 1;
   xa.num_args = 3;
@@ -201,11 +240,25 @@ int main(int argc, char** argv) {
   Check(api, api->PJRT_LoadedExecutable_Execute(&xa), "execute");
 
   // ---- device -> host ----
-  auto to_host = [&](PJRT_Buffer* buf, float* dst, size_t count) {
+  // The executable may keep outputs in a device-preferred (transposed/
+  // tiled) layout; request an explicit dense row-major host layout so the
+  // dump bytes are logical order.
+  auto to_host = [&](PJRT_Buffer* buf, float* dst, size_t count,
+                     size_t ndims) {
+    std::vector<int64_t> m2m(ndims);
+    for (size_t i = 0; i < ndims; ++i) m2m[i] = int64_t(ndims - 1 - i);
+    PJRT_Buffer_MemoryLayout layout;
+    std::memset(&layout, 0, sizeof(layout));
+    layout.struct_size = PJRT_Buffer_MemoryLayout_STRUCT_SIZE;
+    layout.type = PJRT_Buffer_MemoryLayout_Type_Tiled;
+    layout.tiled.struct_size = PJRT_Buffer_MemoryLayout_Tiled_STRUCT_SIZE;
+    layout.tiled.minor_to_major = m2m.data();
+    layout.tiled.minor_to_major_size = ndims;
     PJRT_Buffer_ToHostBuffer_Args ha;
     std::memset(&ha, 0, sizeof(ha));
     ha.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
     ha.src = buf;
+    ha.host_layout = &layout;
     ha.dst = dst;
     ha.dst_size = count * sizeof(float);
     Check(api, api->PJRT_Buffer_ToHostBuffer(&ha), "d2h");
@@ -221,8 +274,8 @@ int main(int argc, char** argv) {
     api->PJRT_Event_Destroy(&ed);
   };
 
-  to_host(out_bufs[0], out_dst, no);
-  to_host(out_bufs[1], lse_dst, nl);
+  to_host(out_bufs[0], out_dst, no, 4);
+  to_host(out_bufs[1], lse_dst, nl, 3);
 
   // ---- rewrite the case with the real kernel's outputs ----
   FILE* f = std::fopen(out_path, "wb");

@@ -57,7 +57,10 @@ def main():
             v.astype(jnp.bfloat16), causal=args.causal,
             softmax_scale=scale, return_attn_probs=True,
         )
-        return o.astype(jnp.float32), lse.astype(jnp.float32)
+        # flatten: 1-D outputs are logical-order regardless of the
+        # device layout XLA picks (the C runner reads raw bytes)
+        return (o.astype(jnp.float32).reshape(-1),
+                lse.astype(jnp.float32).reshape(-1))
 
     shapes = [
         jax.ShapeDtypeStruct((args.b, args.sq, args.h, args.d), jnp.float32),
@@ -83,9 +86,11 @@ def main():
     # python-side outputs as the dump's initial out/lse (the C++ runner
     # overwrites them with the on-device result)
     o, lse = jax.jit(fwd)(q, k, v)
+    o = np.asarray(o).reshape(args.b, args.sq, args.h, args.d)
+    lse = np.asarray(lse).reshape(args.b, args.h, args.sq)
     case_path = os.path.join(args.out_dir, "case.bin")
     dump_attention_case(
-        case_path, q, k, v, np.asarray(o), np.asarray(lse),
+        case_path, q, k, v, o, lse,
         softmax_scale=scale, causal=args.causal,
     )
     print(f"wrote {exe_path} ({len(exe_bytes)} bytes) and {case_path}")
