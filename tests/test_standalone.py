@@ -136,3 +136,44 @@ def test_native_loader_deterministic(tmp_path):
     assert set(c) == set(range(10, 16))
     for i in c:
         np.testing.assert_array_equal(c[i], a[i])
+
+
+def test_pjrt_runner_loop():
+    """Framework-free kernel execution: AOT export -> PJRT-C-API runner
+    (no Python) -> C++ oracle check (the reference standalone's
+    run-the-real-kernel role).  Needs real TPU + ~5 min; gated on
+    FLASH_ATTN_TPU_PJRT_TEST=1."""
+    import os
+    import subprocess
+    import tempfile
+
+    import pytest
+
+    if os.environ.get("FLASH_ATTN_TPU_PJRT_TEST") != "1":
+        pytest.skip("set FLASH_ATTN_TPU_PJRT_TEST=1 (needs real TPU)")
+    from flash_attn_tpu.utils.standalone_io import STANDALONE_DIR
+
+    runner = os.path.join(STANDALONE_DIR, "build", "fa_pjrt_runner")
+    checker = os.path.join(STANDALONE_DIR, "build", "fa_standalone")
+    if not os.path.exists(runner):
+        subprocess.run(["make", "-C", STANDALONE_DIR, "pjrt"], check=True)
+    with tempfile.TemporaryDirectory() as td:
+        env = dict(os.environ)
+        env.pop("FLASH_ATTN_TPU_FORCE_INTERPRET", None)
+        subprocess.run(
+            ["python", os.path.join(STANDALONE_DIR, "tools",
+                                    "export_executable.py"),
+             "--out-dir", td, "--sq", "256", "--sk", "256", "--causal"],
+            check=True, env=env, timeout=580,
+        )
+        env.setdefault("AXON_POOL_SVC_OVERRIDE", "127.0.0.1")
+        subprocess.run(
+            [runner, "run", os.path.join(td, "flash_fwd.exe"),
+             os.path.join(td, "case.bin"), os.path.join(td, "dev.bin")],
+            check=True, env=env, timeout=580,
+        )
+        out = subprocess.run(
+            [checker, "check", os.path.join(td, "dev.bin")],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert "CHECK PASS" in out.stdout, out.stdout
