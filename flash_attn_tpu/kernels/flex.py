@@ -324,6 +324,173 @@ def _flex_fwd_kernel(
         lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
+
+
+# Scheduled-grid forward flags (the BlockMask flattened into tile tables)
+_FX_FIRST, _FX_LAST, _FX_PART, _FX_EMPTY = 1, 2, 4, 8
+
+
+def _flex_schedule(mask: "BlockMask", nq: int, nk: int):
+    """Flatten the per-(b, h, q-block) kv-block lists into (b, h, T) tile
+    tables (block index, q block, flags) walked by a flat sequential grid
+    — the same zero-wasted-ticks scheduling as `flash_fwd._build_schedule`
+    (the rectangular grid paid a predicated no-op tick for every
+    unlisted kv block: ~2x on causal block masks).  T = nq*nk (static
+    worst case); the tail is EMPTY-padded and carries the last valid
+    (qi, blk) so no fresh DMA or out-block transition happens."""
+    n_full = mask.full_kv_num  # (b, h, nq)
+    n_part = mask.kv_num
+    bq_, hq_ = n_full.shape[:2]
+    Lf = mask.full_kv_idx.shape[-1]
+    Lp = mask.kv_idx.shape[-1]
+    W = Lf + Lp
+    n_tot = n_full + n_part
+
+    jf = jnp.arange(Lf, dtype=jnp.int32)
+    jp = jnp.arange(Lp, dtype=jnp.int32)
+    valid_f = jf < n_full[..., None]
+    valid_p = jp < n_part[..., None]
+    blk = jnp.concatenate([mask.full_kv_idx, mask.kv_idx], axis=-1)
+    valid = jnp.concatenate([valid_f, valid_p], axis=-1)  # (b,h,nq,W)
+    part = jnp.concatenate(
+        [jnp.zeros_like(valid_f), jnp.ones_like(valid_p)], axis=-1)
+    # position within the (full ++ partial) run
+    j_run = jnp.concatenate(
+        [jnp.broadcast_to(jf, valid_f.shape),
+         n_full[..., None] + jp], axis=-1)
+    first = valid & (j_run == 0)
+    last = valid & (j_run == n_tot[..., None] - 1)
+    # q blocks with no listed kv block still need a finalize tick
+    # (zero output, +inf lse)
+    force = (n_tot == 0)[..., None] & (
+        jnp.arange(W, dtype=jnp.int32) == 0)
+    valid = valid | force
+    flags = (first * _FX_FIRST + last * _FX_LAST + part * _FX_PART
+             ).astype(jnp.int32)
+    flags = jnp.where(force, _FX_FIRST | _FX_LAST | _FX_EMPTY, flags)
+    blk = jnp.where(force, 0, blk)
+
+    T = nq * nk
+    qi_grid = jnp.broadcast_to(
+        jnp.arange(nq, dtype=jnp.int32)[:, None], (nq, W))
+    flat_pos = (qi_grid * W
+                + jnp.arange(W, dtype=jnp.int32)[None, :]).reshape(-1)
+    key = jnp.where(
+        valid.reshape(*valid.shape[:2], -1), flat_pos, jnp.int32(nq * W))
+    order = jnp.argsort(key, axis=-1)[..., :T]  # (b,h,T)
+    okey = jnp.take_along_axis(key, order, axis=-1)
+    is_real = okey < nq * W
+
+    def gather(x):
+        return jnp.take_along_axis(
+            x.reshape(*x.shape[:2], -1), order, axis=-1)
+
+    qi_tab = jnp.where(is_real, okey // W, 0)
+    blk_tab = jnp.where(is_real, gather(blk), 0)
+    fl_tab = jnp.where(is_real, gather(flags), jnp.int32(_FX_EMPTY))
+    # pad tail carries the last real (qi, blk)
+    idx = jax.lax.cummax(
+        jnp.where(is_real,
+                  jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32),
+                                   is_real.shape), -1),
+        axis=is_real.ndim - 1)
+    idx = jnp.maximum(idx, 0)
+    qi_tab = jnp.take_along_axis(qi_tab, idx, axis=-1).astype(jnp.int32)
+    blk_tab = jnp.take_along_axis(blk_tab, idx, axis=-1).astype(jnp.int32)
+    return qi_tab, blk_tab, fl_tab.astype(jnp.int32)
+
+
+def _flex_fwd_sched_kernel(
+    scale, score_mod, mask_mod, g, bq, bk, sk_real, has_aux, has_bias,
+    folded, qi_ref, blk_ref, fl_ref,
+    *refs,
+):
+    refs = list(refs)
+    q_ref, k_ref, v_ref = refs[:3]
+    refs = refs[3:]
+    if has_aux:
+        qa_ref, ka_ref = refs[:2]
+        refs = refs[2:]
+    else:
+        qa_ref = ka_ref = None
+    bias_ref = refs.pop(0) if has_bias else None
+    o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    t = pl.program_id(2)
+    qi = qi_ref[b, h, t]
+    kv_blk = blk_ref[b, h, t]
+    fl = fl_ref[b, h, t]
+    first = (fl & _FX_FIRST) != 0
+    last = (fl & _FX_LAST) != 0
+    partial = (fl & _FX_PART) != 0
+    empty = (fl & _FX_EMPTY) != 0
+    aux = _aux_args(has_aux, qa_ref, ka_ref, bq, bk)
+    c = 1.0 if folded else LOG2E
+
+    @pl.when(first)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def _update(masked):
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if not folded:
+            s = s * scale
+        if has_bias:
+            s = s + bias_ref[0, 0].astype(jnp.float32)
+        rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        cols = kv_blk * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        if score_mod is not None:
+            s = score_mod(s, b, h, rows, cols, *aux)
+        if masked:
+            keep = cols < sk_real
+            if mask_mod is not None:
+                keep = jnp.logical_and(keep, mask_mod(b, h, rows, cols, *aux))
+            s = jnp.where(keep, s, MASK_VALUE)
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_curr = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp2((m_prev - m_curr) * c)
+        pmat = jnp.exp2((s - m_curr) * c)
+        if masked:
+            pmat = jnp.where(keep, pmat, 0.0)
+        l_curr = l_prev * alpha + jnp.sum(pmat, axis=1, keepdims=True)
+        m_ref[...] = jnp.broadcast_to(m_curr, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_curr, l_ref.shape)
+        pv = jax.lax.dot_general(
+            pmat.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(jnp.logical_and(jnp.logical_not(empty),
+                             jnp.logical_not(partial)))
+    def _full():
+        _update(masked=False)
+
+    @pl.when(jnp.logical_and(jnp.logical_not(empty), partial))
+    def _part():
+        _update(masked=True)
+
+    @pl.when(last)
+    def _finalize():
+        l_final = l_ref[:, :1]
+        m_final = m_ref[:, :1]
+        zero = l_final == 0.0
+        l_safe = jnp.where(zero, 1.0, l_final)
+        o_ref[0, 0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
+        m_nat = m_final / LOG2E if folded else m_final
+        lse = jnp.where(zero, jnp.inf, m_nat + jnp.log(l_safe))
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
 def _prep_aux(aux, b, s_p, dtype_fallback=jnp.int32):
     """(b, s) aux -> (b, s_p, STAT_LANES) lane-replicated stream."""
     if aux is None:
@@ -382,21 +549,15 @@ def _flex_fwd(
         if ka is None:
             ka = jnp.zeros((b, sk_p // bk, 8, bk), jnp.int32)
 
-    def q_map(b_, h_, qi, ki, *refs):
-        return (b_, h_, qi, 0)
+    # scheduled grid: the BlockMask flattened into (b, h, T) tile tables
+    qi_tab, blk_tab, fl_tab = _flex_schedule(mask, nq, nk)
+    T = int(qi_tab.shape[-1])
 
-    def kv_blk_of(b_, h_, qi, ki, kvn_ref, kvi_ref, fn_ref, fi_ref):
-        n_full = fn_ref[b_, h_, qi]
-        n_part = kvn_ref[b_, h_, qi]
-        # skipped steps re-point at the last listed block (no extra DMA)
-        kis = jnp.minimum(ki, jnp.maximum(n_full + n_part - 1, 0))
-        return jnp.where(
-            kis < n_full, fi_ref[b_, h_, qi, kis],
-            kvi_ref[b_, h_, qi, jnp.maximum(kis - n_full, 0)],
-        )
+    def q_map(b_, h_, t, qi_r, blk_r, fl_r):
+        return (b_, h_, qi_r[b_, h_, t], 0)
 
-    def kv_map(b_, h_, qi, ki, *refs):
-        return (b_, h_ // g, kv_blk_of(b_, h_, qi, ki, *refs), 0)
+    def kv_map(b_, h_, t, qi_r, blk_r, fl_r):
+        return (b_, h_ // g, blk_r[b_, h_, t], 0)
 
     in_specs = [
         pl.BlockSpec((1, 1, bq, d), q_map),
@@ -406,11 +567,12 @@ def _flex_fwd(
     inputs = [q, k, v]
     if has_aux:
         in_specs.append(pl.BlockSpec(
-            (1, bq, STAT_LANES), lambda b_, h_, qi, ki, *r: (b_, qi, 0)))
+            (1, bq, STAT_LANES),
+            lambda b_, h_, t, qi_r, *r: (b_, qi_r[b_, h_, t], 0)))
         in_specs.append(pl.BlockSpec(
             (1, 1, 8, bk),
-            lambda b_, h_, qi, ki, *r: (
-                b_, kv_blk_of(b_, h_, qi, ki, *r), 0, 0),
+            lambda b_, h_, t, qi_r, blk_r, fl_r: (
+                b_, blk_r[b_, h_, t], 0, 0),
         ))
         inputs += [qa, ka]
     has_bias = bias is not None
@@ -419,9 +581,9 @@ def _flex_fwd(
         bb, bh_ = bias.shape[:2]
         in_specs.append(pl.BlockSpec(
             (1, 1, bq, bk),
-            lambda b_, h_, qi, ki, *r, bb=bb, bh_=bh_: (
-                jnp.minimum(b_, bb - 1), jnp.minimum(h_, bh_ - 1), qi,
-                kv_blk_of(b_, h_, qi, ki, *r)),
+            lambda b_, h_, t, qi_r, blk_r, fl_r, bb=bb, bh_=bh_: (
+                jnp.minimum(b_, bb - 1), jnp.minimum(h_, bh_ - 1),
+                qi_r[b_, h_, t], blk_r[b_, h_, t]),
         ))
         inputs.append(bias)
 
@@ -431,14 +593,14 @@ def _flex_fwd(
                      ).astype(inputs[0].dtype)
 
     kernel = functools.partial(
-        _flex_fwd_kernel, scale, score_mod, mask_mod, g, bq, bk, sk,
+        _flex_fwd_sched_kernel, scale, score_mod, mask_mod, g, bq, bk, sk,
         has_aux, has_bias, folded,
     )
     o, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
-            grid=(b, h, nq, nk),
+            num_scalar_prefetch=3,
+            grid=(b, h, T),
             in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((1, 1, bq, d), q_map),
@@ -455,11 +617,11 @@ def _flex_fwd(
             jax.ShapeDtypeStruct((b, h, sq_p, LANES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=use_interpret(),
-    )(mask.kv_num, mask.kv_idx, mask.full_kv_num, mask.full_kv_idx, *inputs)
+    )(qi_tab, blk_tab, fl_tab, *inputs)
     return o[:, :, :sq, :], lse[:, :, :sq, 0]
 
 
