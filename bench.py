@@ -25,7 +25,7 @@ def main():
 
     if on_tpu:
         b, h, s, d = 1, 16, 8192, 128
-        iters = 8
+        iters = 16  # run-to-run tunnel variance is ~5%; more samples
         peak_tflops = 197.0  # TPU v5e bf16
     else:  # CI smoke: interpret mode, tiny shape
         b, h, s, d = 1, 2, 256, 64
@@ -38,7 +38,8 @@ def main():
     v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
 
     dt = benchmark_attention_fwd(
-        fa.flash_attn_func, q, k, v, causal=False, iters=iters
+        fa.flash_attn_func, q, k, v, causal=False, iters=iters,
+        reps=5 if on_tpu else 1,
     )
     tflops = attention_flops(b, s, s, h, d, False, "fwd") / dt / 1e12
     frac = tflops / peak_tflops
