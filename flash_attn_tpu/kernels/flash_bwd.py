@@ -581,7 +581,11 @@ def flash_attn_bwd_bhsd(
     # the forward's Q folding bit-for-bit and move LSE to log2 units, so
     # the recomputed probabilities match the forward's exactly.  The fwd
     # folds iff no softcap/alibi and not fp8 (`flash_fwd.py`).
-    folded = softcap == 0.0 and alibi_slopes is None
+    # (fp8 guard: the forward never folds fp8 inputs — rounding q*scale
+    # back to fp8 would destroy gradient precision if an fp8 backward were
+    # ever added.)
+    fp8_q = jnp.issubdtype(q.dtype, jnp.floating) and q.dtype.itemsize == 1
+    folded = softcap == 0.0 and alibi_slopes is None and not fp8_q
     if folded:
         q = (q.astype(jnp.float32)
              * (float(softmax_scale) * LOG2E)).astype(q.dtype)

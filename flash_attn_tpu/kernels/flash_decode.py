@@ -574,6 +574,7 @@ def decode_attn_ref_layout(
     attention_chunk: int = 0,
     k_descale=None,
     v_descale=None,
+    sinks=None,
 ):
     """Split-KV decode on reference-layout caches (no transposes).
 
@@ -810,6 +811,19 @@ def decode_attn_ref_layout(
     # unpack gqa rows -> heads: (b, hk, rows_p, dv)
     o = o[:, :, :rows].reshape(b, hk, g, sq, dv).reshape(b, h, sq, dv)
     lse = lse[:, :, :rows].reshape(b, hk, g, sq).reshape(b, h, sq)
+    if sinks is not None:
+        # Attention sink (reference `cute/interface.py:1149`): a virtual
+        # per-head logit joining the softmax denominator only.  Applied as
+        # an exact post-correction — o' = o * sigmoid(lse - sink),
+        # lse' = logaddexp(lse, sink) — which composes with split-KV
+        # combine and every cache variant (paged/int8/fp8) with zero
+        # kernel changes.  Empty rows carry the +inf-LSE convention: their
+        # whole mass goes to the sink (o stays 0, lse' = sink).
+        sk_h = jnp.asarray(sinks, jnp.float32).reshape(h)[None, :, None]
+        empty = jnp.isposinf(lse)
+        o = o * jax.nn.sigmoid(lse - sk_h)[..., None]
+        lse = jnp.where(empty, jnp.broadcast_to(sk_h, lse.shape),
+                        jnp.logaddexp(lse, sk_h))
     return jnp.swapaxes(o, 1, 2).astype(q.dtype), lse
 
 
@@ -998,6 +1012,7 @@ def flash_attn_with_kvcache(
     attention_chunk=0,
     k_descale=None,
     v_descale=None,
+    sinks=None,
     scheduler_metadata=None,
     pack_gqa=None,
     sm_margin=0,
@@ -1108,6 +1123,7 @@ def flash_attn_with_kvcache(
         attention_chunk=attention_chunk,
         k_descale=k_descale,
         v_descale=v_descale,
+        sinks=sinks,
     )
 
     results = (out,)

@@ -54,12 +54,22 @@ class CSVLogger:
                                           extrasaction="ignore")
             if self._f.tell() == 0:
                 self._writer.writeheader()
-        for k in rec:
-            if k not in self._fields:
-                # new metric mid-run: restart writer with the union
-                self._fields = list(dict.fromkeys(self._fields + list(rec)))
-                self._writer = csv.DictWriter(
-                    self._f, fieldnames=self._fields, extrasaction="ignore")
+        if any(k not in self._fields for k in rec):
+            # New metric mid-run: rewrite the file with the union header so
+            # every row stays aligned with it (a widened writer alone would
+            # emit rows with more columns than the already-written header).
+            self._fields = list(dict.fromkeys(self._fields + list(rec)))
+            self._f.close()
+            old_rows = []
+            if self.path.exists():
+                with open(self.path, newline="") as f:
+                    old_rows = list(csv.DictReader(f))
+            self._f = open(self.path, "w", newline="")
+            self._writer = csv.DictWriter(self._f, fieldnames=self._fields,
+                                          extrasaction="ignore")
+            self._writer.writeheader()
+            for row in old_rows:
+                self._writer.writerow(row)
         self._writer.writerow(rec)
         self._f.flush()
 

@@ -274,8 +274,12 @@ int main(int argc, char** argv) {
     api->PJRT_Event_Destroy(&ed);
   };
 
-  to_host(out_bufs[0], out_dst, no, 4);
-  to_host(out_bufs[1], lse_dst, nl, 3);
+  // The exported executable returns FLATTENED (1-D) outputs (see
+  // tools/export_executable.py), so the requested host layout must be
+  // rank 1 to match the buffer rank (PJRT requires minor_to_major_size
+  // == rank; a strict plugin rejects a mismatched layout).
+  to_host(out_bufs[0], out_dst, no, 1);
+  to_host(out_bufs[1], lse_dst, nl, 1);
 
   // ---- rewrite the case with the real kernel's outputs ----
   FILE* f = std::fopen(out_path, "wb");

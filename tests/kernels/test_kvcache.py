@@ -303,3 +303,44 @@ def test_kvcache_quantised_append(cache_dtype):
     err = float(jnp.abs(out.astype(jnp.float32)
                         - out_ref.astype(jnp.float32)).max())
     assert err < (4e-2 if cache_dtype == "int8" else 1.5e-1), err
+
+
+@pytest.mark.parametrize("sq", [1, 4])
+@pytest.mark.parametrize("num_splits", [1, 3])
+def test_kvcache_sinks(sq, num_splits):
+    """Attention sinks at decode (`cute/interface.py:1149`): the per-head
+    sink logit joins the softmax denominator only, across split-KV."""
+    import jax
+
+    _, q, kc, vc, lens, _, _ = setup(sq=sq, smax=320)
+    b, _, h, d = q.shape
+    hk = kc.shape[2]
+    rng = np.random.default_rng(3)
+    sinks = jnp.asarray(rng.standard_normal(h), jnp.float32)
+    scale = d ** -0.5
+
+    out, lse = flash_attn_with_kvcache(
+        q, kc, vc, cache_seqlens=lens, causal=True, sinks=sinks,
+        num_splits=num_splits, return_softmax_lse=True,
+    )
+
+    # fp32 reference with a virtual sink logit column (no value row)
+    smax = kc.shape[1]
+    g = h // hk
+    kf = jnp.repeat(kc.astype(jnp.float32), g, axis=2)  # (b, smax, h, d)
+    vf = jnp.repeat(vc.astype(jnp.float32), g, axis=2)
+    sc = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32), kf) * scale
+    lens_np = np.asarray(lens)
+    cols = np.arange(smax)[None, None, None, :]
+    pos = np.arange(sq)[None, None, :, None] + (
+        lens_np[:, None, None, None] - sq)
+    valid = (cols < lens_np[:, None, None, None]) & (cols <= pos)
+    sc = jnp.where(jnp.asarray(valid), sc, -jnp.inf)
+    sc_aug = jnp.concatenate(
+        [sc, jnp.broadcast_to(sinks[None, :, None, None], (b, h, sq, 1))],
+        axis=-1)
+    p_aug = jax.nn.softmax(sc_aug, axis=-1)
+    o_ref = jnp.einsum("bhqk,bkhd->bqhd", p_aug[..., :-1], vf)
+    lse_ref = jax.nn.logsumexp(sc_aug, axis=-1)
+    assert float(jnp.abs(out.astype(jnp.float32) - o_ref).max()) < 2e-2
+    assert float(jnp.abs(lse - lse_ref).max()) < 5e-3
