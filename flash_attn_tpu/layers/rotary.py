@@ -43,7 +43,30 @@ def apply_rotary_emb(x, cos, sin, interleaved=False, seqlen_offsets=0,
     `seqlen_offsets` may be an int or a (b,) array (decode).
     """
     del inplace  # functional on TPU; jit donation gives in-place behaviour
-    assert cu_seqlens is None, "varlen rotary: apply before packing"
+    if cu_seqlens is not None:
+        # Packed varlen stream (`rotary.py:93` cu_seqlens path): x is
+        # (total, h, d) and positions restart at each cu_seqlens boundary.
+        # One gather builds per-token positions; the rotation itself is the
+        # same VPU math, so XLA fuses it like the fixed-length path.
+        assert x.ndim == 3, "varlen x must be (total_tokens, h, d)"
+        total = x.shape[0]
+        cu = jnp.asarray(cu_seqlens, jnp.int32)
+        t = jnp.arange(total, dtype=jnp.int32)
+        seg = jnp.clip(
+            jnp.searchsorted(cu, t, side="right") - 1, 0, cu.shape[0] - 2)
+        pos = t - cu[seg]
+        if isinstance(seqlen_offsets, int):
+            if seqlen_offsets:
+                pos = pos + seqlen_offsets
+        else:
+            pos = pos + jnp.asarray(seqlen_offsets, jnp.int32)[seg]
+        pos = jnp.clip(pos, 0, cos.shape[0] - 1)
+        rd = cos.shape[-1] * 2
+        c = _expand_cos(cos[pos].astype(jnp.float32), interleaved)
+        sn = _expand_cos(sin[pos].astype(jnp.float32), interleaved)
+        x_rot = x[..., :rd].astype(jnp.float32)
+        out = x_rot * c + rotate_half(x_rot, interleaved) * sn
+        return jnp.concatenate([out.astype(x.dtype), x[..., rd:]], axis=-1)
     b, s, h, d = x.shape
     rd = cos.shape[-1] * 2
     if isinstance(seqlen_offsets, int):

@@ -194,3 +194,69 @@ def test_sched_multi_block_straddle():
     real = fl != 8
     for qb in range(3):
         assert ((fl[(qi == qb) & real] & 2) != 0).sum() == 1, qb
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("ragged", [True, False])
+def test_varlen_fp8(causal, ragged):
+    """FP8 varlen fwd with per-(seq, kv-head) descale (reference scenario
+    `standalone/src/test_fp8_varlen.cpp`; descale plumbing
+    `hopper/flash_api.cpp:673-707`).  `ragged` picks the packed-scheduled
+    route; uniform lengths keep the padded route — both must hold the gate."""
+    lens = [384, 48, 160, 32] if ragged else [96, 96, 96, 96]
+    h, hk, d = 4, 2, 64
+    g = h // hk
+    rng = np.random.default_rng(11)
+    total = sum(lens)
+    cu = jnp.asarray(np.cumsum([0] + lens), jnp.int32)
+    q = jnp.asarray(rng.standard_normal((total, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((total, hk, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((total, hk, d)), jnp.float32)
+
+    # per-(seq, kv-head) symmetric e4m3 quantisation of the packed streams
+    def quant(x, nh, cu_):
+        b = len(lens)
+        xq = np.zeros(x.shape, np.float32)
+        ds = np.zeros((b, hk), np.float32)
+        cn = np.asarray(cu_)
+        for i in range(b):
+            seg = np.asarray(x[cn[i]:cn[i + 1]], np.float32)
+            if nh == h:  # q: descale shared within each kv-head group
+                segg = seg.reshape(seg.shape[0], hk, g * d)
+                amax = np.abs(segg).max(axis=(0, 2))
+            else:
+                amax = np.abs(seg).max(axis=(0, 2))
+            sc = 448.0 / np.maximum(amax, 1e-12)
+            rep = np.repeat(sc, g) if nh == h else sc
+            xq[cn[i]:cn[i + 1]] = seg * rep[None, :, None]
+            ds[i] = 1.0 / sc
+        return jnp.asarray(xq).astype(jnp.float8_e4m3fn), jnp.asarray(ds)
+
+    qq, q_ds = quant(q, h, cu)
+    kq, k_ds = quant(k, hk, cu)
+    vq, v_ds = quant(v, hk, cu)
+
+    out = flash_attn_varlen_func(
+        qq, kq, vq, cu, cu, max(lens), max(lens), causal=causal,
+        q_descale=q_ds, k_descale=k_ds, v_descale=v_ds,
+    )
+    assert out.dtype == jnp.bfloat16
+
+    # oracle on the dequantised packed streams (exactly what the kernel sees)
+    def deq(xq, ds, nh):
+        cn = np.asarray(cu)
+        xf = np.asarray(xq, np.float32)
+        for i in range(len(lens)):
+            rep = np.repeat(np.asarray(ds)[i], g) if nh == h else np.asarray(ds)[i]
+            xf[cn[i]:cn[i + 1]] *= rep[None, :, None]
+        return jnp.asarray(xf)
+
+    qd, kd, vd = deq(qq, q_ds, h), deq(kq, k_ds, hk), deq(vq, v_ds, hk)
+    out_ref, _ = ref_per_seq(qd, kd, vd, cu, cu, causal=causal)
+    out_pt, _ = ref_per_seq(
+        qd.astype(jnp.bfloat16), kd.astype(jnp.bfloat16),
+        vd.astype(jnp.bfloat16), cu, cu, causal=causal)
+    # The folded-descale path rounds q to bf16 twice (descale fold +
+    # the kernel's scale*log2e fold) — one rounding more than the
+    # yardstick; the repo's standard absolute floor covers that ulp.
+    check_close(out, out_ref, out_pt, atol_floor=8e-3)
