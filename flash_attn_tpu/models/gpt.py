@@ -74,6 +74,7 @@ def create_mixer_cls(config, layer_idx: int, dtype):
         tensor_parallel=_cfg(config, "tensor_parallel", False),
         mesh=_cfg(config, "attn_mesh"),
         shard_seq_axis=_cfg(config, "attn_seq_axis"),
+        shard_seq_ring=_cfg(config, "attn_seq_ring", False),
     )
 
 

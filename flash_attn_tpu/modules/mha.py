@@ -155,6 +155,9 @@ class MHA(nn.Module):
     shard_batch_axis: str = "data"
     shard_head_axis: str = "model"
     shard_seq_axis: Optional[str] = None
+    # With shard_seq_axis set: stream K/V around the ring (ppermute; KV
+    # memory stays O(s/n) per device) instead of all-gather-KV.
+    shard_seq_ring: bool = False
 
     def _heads(self):
         h = self.num_heads
@@ -243,7 +246,23 @@ class MHA(nn.Module):
                     key_padding_mask[:, :, None, None], ctx, 0.0
                 )
             elif self.use_flash_attn:
-                if self.mesh is not None:
+                if self.mesh is not None and self.shard_seq_ring and (
+                        self.shard_seq_axis is not None):
+                    from flash_attn_tpu.parallel.ring_attention import (
+                        ring_flash_attn_func,
+                    )
+
+                    assert alibi is None and self.softcap == 0.0 and (
+                        self.window_size == (-1, -1)), (
+                        "ring SP supports plain/causal attention")
+                    ctx = ring_flash_attn_func(
+                        self.mesh, q, k, v,
+                        seq_axis=self.shard_seq_axis,
+                        batch_axis=self.shard_batch_axis,
+                        head_axis=self.shard_head_axis,
+                        softmax_scale=scale, causal=self.causal,
+                    )
+                elif self.mesh is not None:
                     from flash_attn_tpu.parallel.sharded_attention import (
                         sharded_flash_attn_func,
                     )
