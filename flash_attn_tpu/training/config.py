@@ -16,6 +16,10 @@ from typing import Any, Optional
 @dataclass
 class ModelConfig:
     name: str = "gpt2-small"
+    # task: "lm" (GPT + token stream) or "image" (ViT classification —
+    # reference `training/src/datamodules/imagenet.py` +
+    # `configs/experiment/imagenet/*` role)
+    task: str = "lm"
     n_embd: int = 768
     n_layer: int = 12
     n_head: int = 12
@@ -29,6 +33,12 @@ class ModelConfig:
     tie_word_embeddings: bool = True
     parallel_block: bool = False
     dtype: str = "bfloat16"
+    # image-task (ViT) fields
+    patch_size: int = 16
+    image_size: int = 224
+    num_classes: int = 1000
+    global_pool: str = "token"
+    mlp_ratio: float = 4.0
 
     def to_gpt2_config(self):
         from transformers import GPT2Config
@@ -93,6 +103,11 @@ class DataConfig:
     detokenizer: Optional[str] = None  # e.g. "wikitext"
     max_examples: int = 0
     cache_dir: str = ".hf_token_cache"
+    # image task: side length fed to the model (defaults to the model's
+    # image_size); dataset = "synthetic" | .npz / array-shard path |
+    # ImageFolder directory (see training/vision_data.py)
+    image_size: Optional[int] = None
+    augment: bool = True
 
 
 @dataclass

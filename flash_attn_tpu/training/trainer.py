@@ -11,6 +11,7 @@ Run: `python -m flash_attn_tpu.training.run --config cfg.yaml [k=v ...]`.
 
 from __future__ import annotations
 
+import functools
 import os
 from pathlib import Path
 from typing import Optional
@@ -48,20 +49,45 @@ class Trainer:
         )
         self.multi = n > 1
 
-        self.gpt2_config = config.model.to_gpt2_config()
-        if self.multi:
-            self.gpt2_config.tensor_parallel = mc.model > 1
-            self.gpt2_config.attn_mesh = self.mesh
-            self.gpt2_config.attn_seq_axis = "seq" if mc.seq > 1 else None
+        self.task = getattr(config.model, "task", "lm")
         dtype = getattr(jnp, config.model.dtype)
-        self.model = GPTLMHeadModel(self.gpt2_config, dtype=dtype)
+        if self.task == "image":
+            # ViT classification (reference imagenet datamodule +
+            # `configs/experiment/imagenet/*` role)
+            from flash_attn_tpu.models.vit import VisionTransformer
+            from flash_attn_tpu.training.vision_data import make_image_loader
 
-        self.loader = make_loader(config.data, config.model.vocab_size)
-        ids0 = jnp.zeros((config.data.batch_size, config.data.seq_len),
-                         jnp.int32)
-        self.params = jax.jit(self.model.init)(
-            jax.random.PRNGKey(config.trainer.seed), ids0
-        )
+            m = config.model
+            size = int(config.data.image_size or m.image_size)
+            config.data.image_size = size
+            self.gpt2_config = None
+            self.model = VisionTransformer(
+                img_size=size, patch_size=m.patch_size,
+                num_classes=m.num_classes, embed_dim=m.n_embd,
+                depth=m.n_layer, num_heads=m.n_head,
+                mlp_ratio=m.mlp_ratio, global_pool=m.global_pool,
+                dtype=dtype,
+            )
+            self.loader = make_image_loader(config.data, m.num_classes)
+            x0 = jnp.zeros((config.data.batch_size, size, size, 3),
+                           jnp.float32)
+            self.params = jax.jit(self.model.init)(
+                jax.random.PRNGKey(config.trainer.seed), x0
+            )
+        else:
+            self.gpt2_config = config.model.to_gpt2_config()
+            if self.multi:
+                self.gpt2_config.tensor_parallel = mc.model > 1
+                self.gpt2_config.attn_mesh = self.mesh
+                self.gpt2_config.attn_seq_axis = "seq" if mc.seq > 1 else None
+            self.model = GPTLMHeadModel(self.gpt2_config, dtype=dtype)
+
+            self.loader = make_loader(config.data, config.model.vocab_size)
+            ids0 = jnp.zeros((config.data.batch_size, config.data.seq_len),
+                             jnp.int32)
+            self.params = jax.jit(self.model.init)(
+                jax.random.PRNGKey(config.trainer.seed), ids0
+            )
         self.tx = make_optimizer(config.optimizer, config.scheduler,
                                  self.params)
         self.opt_state = self.tx.init(self.params)
@@ -79,7 +105,12 @@ class Trainer:
         self._plateau_bad = 0
 
         if self.multi:
-            pspecs = gpt_partition_specs(self.params)
+            if self.task == "image":
+                # ViT: data-parallel (replicated params); TP for ViT is an
+                # explicit non-goal of the reference training stack too
+                pspecs = jax.tree_util.tree_map(lambda _: P(), self.params)
+            else:
+                pspecs = gpt_partition_specs(self.params)
             put = lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s))
             self.params = jax.tree_util.tree_map(put, self.params, pspecs)
             if config.optimizer.shard_optimizer_state:
@@ -95,9 +126,13 @@ class Trainer:
                 )
         self._build_steps()
 
-        tokens_per_step = config.data.batch_size * config.data.seq_len
+        if self.task == "image":
+            tokens_per_step = config.data.batch_size  # images/step
+            self.flops = None
+        else:
+            tokens_per_step = config.data.batch_size * config.data.seq_len
+            self.flops = FlopCount(self.gpt2_config, tokens_per_step)
         self.speed = SpeedMonitor(tokens_per_step)
-        self.flops = FlopCount(self.gpt2_config, tokens_per_step)
         self.norms = NormMonitor()
         self.perplexity = Perplexity()
         self.ckpt_dir = Path(config.trainer.checkpoint_dir).absolute()
@@ -107,18 +142,45 @@ class Trainer:
         model = self.model
         chunk = self.config.trainer.ce_chunk_tokens
 
-        def loss_fn(params, batch):
-            # LM head + CE in sequence chunks: never materialises the
-            # (b*s, vocab) fp32 logits (role of the reference's fused CE
-            # kernel, `ops/triton/cross_entropy.py`)
-            return chunked_lm_loss(model, params, batch, chunk_tokens=chunk)
+        if self.task == "image":
+            from flash_attn_tpu.training.vision_data import augment_batch
+
+            augment = self.config.data.augment
+            seed = self.config.trainer.seed
+
+            def loss_fn(params, batch, step, train=True):
+                images, labels = batch
+                key = jax.random.fold_in(jax.random.PRNGKey(seed), step)
+                x = augment_batch(images, key, train=train and augment)
+                logits = model.apply(params, x).astype(jnp.float32)
+                loss = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+                    logits, labels))
+                acc = jnp.mean((jnp.argmax(logits, -1) == labels)
+                               .astype(jnp.float32))
+                return loss, acc
+
+            def train_loss(params, batch, step):
+                return loss_fn(params, batch, step)[0]
+
+            eval_fn = jax.jit(functools.partial(loss_fn, train=False))
+        else:
+            def train_loss(params, batch, step):
+                # LM head + CE in sequence chunks: never materialises the
+                # (b*s, vocab) fp32 logits (role of the reference's fused
+                # CE kernel, `ops/triton/cross_entropy.py`)
+                del step
+                return chunked_lm_loss(model, params, batch,
+                                       chunk_tokens=chunk)
+
+            eval_fn = jax.jit(
+                lambda params, batch, step: train_loss(params, batch, step))
 
         tx = self.tx
         ema_decay = self.config.trainer.ema_decay
 
         @jax.jit
-        def train_step(params, opt_state, ema_params, batch):
-            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        def train_step(params, opt_state, ema_params, batch, step):
+            loss, grads = jax.value_and_grad(train_loss)(params, batch, step)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             gnorm = optax.global_norm(grads)
@@ -127,16 +189,18 @@ class Trainer:
             return params, opt_state, ema_params, loss, gnorm
 
         self._train_step = train_step
-        self._eval_step = jax.jit(loss_fn)
+        self._eval_step = eval_fn
         # batch placement: shard the leading (batch) dim over the data axis
         # so multi-host/multi-chip runs feed each shard locally instead of
         # relying on GSPMD to guess (round-1 VERDICT weak #7)
         if self.multi:
             sharding = NamedSharding(self.mesh, P("data"))
-            self._put_batch = lambda b: jax.device_put(
-                jnp.asarray(b), sharding)
+            put1 = lambda b: jax.device_put(jnp.asarray(b), sharding)
         else:
-            self._put_batch = jnp.asarray
+            put1 = jnp.asarray
+        self._put_batch = (
+            (lambda b: tuple(put1(x) for x in b)) if self.task == "image"
+            else put1)
 
     # ------------------------------------------------------------------
     # checkpoint / resume (orbax; `model_checkpoint.py` + fault-tolerant
@@ -220,25 +284,28 @@ class Trainer:
                 batch = self._put_batch(next(self.loader))
                 (self.params, self.opt_state, self.ema_params, loss,
                  gnorm) = self._train_step(
-                    self.params, self.opt_state, self.ema_params, batch
+                    self.params, self.opt_state, self.ema_params, batch,
+                    jnp.int32(self.step),
                 )
                 self.step += 1
                 stats = self.speed.step()
                 if self.step % tc.log_every == 0 or self.step == tc.max_steps:
                     loss = float(loss)
-                    self.perplexity.update(
-                        loss * batch.size, batch.size
-                    )
+                    n = (batch[1].size if isinstance(batch, tuple)
+                         else batch.size)
+                    self.perplexity.update(loss * n, n)
                     msg = {
                         "loss": round(loss, 4),
                         "grad_norm": round(float(gnorm), 3),
-                        "ppl": round(self.perplexity.compute(), 2),
                     }
+                    if self.task != "image":
+                        msg["ppl"] = round(self.perplexity.compute(), 2)
                     if stats:
                         msg["tokens_per_s"] = int(stats["tokens_per_s"])
-                        msg["TFLOPs"] = round(
-                            self.flops.tflops(stats["steps_per_s"]), 1
-                        )
+                        if self.flops is not None:
+                            msg["TFLOPs"] = round(
+                                self.flops.tflops(stats["steps_per_s"]), 1
+                            )
                     emit(self.step, msg)
                 if tc.eval_every and self.step % tc.eval_every == 0:
                     ev = self.evaluate()
@@ -256,7 +323,8 @@ class Trainer:
         losses = []
         for _ in range(tc.eval_steps):
             batch = self._put_batch(next(self.loader))
-            losses.append(float(self._eval_step(params, batch)))
+            out = self._eval_step(params, batch, jnp.int32(0))
+            losses.append(float(out[0] if isinstance(out, tuple) else out))
         return float(np.mean(losses))
 
 

@@ -118,7 +118,8 @@ def test_plateau_reduces_lr(tmp_path):
     assert float(t.opt_state.hyperparams["lr_mult"]) == 0.5
     # train step still runs with the mutated hyperparams
     batch = t._put_batch(next(t.loader))
-    t._train_step(t.params, t.opt_state, t.ema_params, batch)
+    t._train_step(t.params, t.opt_state, t.ema_params, batch,
+                      jnp.int32(0))
 
 
 def test_text_file_datamodule(tmp_path):
@@ -172,7 +173,62 @@ def test_experiment_config_loads():
     import pathlib
 
     base = pathlib.Path("flash_attn_tpu/training/configs/experiment")
-    for name in ("owt-gpt2s.yaml", "pile-gpt3-2p7b-flash-8k.yaml"):
+    for name in ("owt-gpt2s.yaml", "owt-gpt2m.yaml", "owt-gpt2l.yaml",
+                 "owt-gpt2s-8k.yaml", "pile-gpt3-2p7b-flash-8k.yaml",
+                 "pile-llama-1b.yaml"):
         cfg = load_config(str(base / name))
         assert cfg.model.n_embd >= 768
         assert cfg.data.tokenizer == "gpt2"
+    vit = load_config(str(base / "imagenet-vit-b.yaml"))
+    assert vit.model.task == "image" and vit.model.num_classes == 1000
+    llama = load_config(str(base / "pile-llama-1b.yaml"))
+    assert llama.model.rms_norm and llama.model.n_head_kv == 4
+
+
+def test_image_task_smoke_train(tmp_path):
+    """ViT classification task end-to-end (reference imagenet datamodule
+    role, `training/src/datamodules/imagenet.py`): synthetic
+    class-conditional images, device-side augmentation, loss decreases."""
+    from flash_attn_tpu.training.trainer import Trainer
+
+    cfg = load_config(overrides={
+        "model": {"task": "image", "n_embd": 64, "n_layer": 2, "n_head": 2,
+                  "num_classes": 4, "image_size": 32, "patch_size": 8,
+                  "dtype": "float32"},
+        "data": {"batch_size": 8, "max_examples": 64},
+        "optimizer": {"lr": 3e-3},
+        "scheduler": {"warmup_steps": 5, "decay_steps": 30},
+        "trainer": {"max_steps": 30, "log_every": 10, "eval_every": 0,
+                    "checkpoint_every": 0, "resume": False,
+                    "out_dir": str(tmp_path)},
+    })
+    t = Trainer(cfg)
+    losses = []
+    t.train(log_fn=lambda m: losses.append(m.get("loss")))
+    ls = [l for l in losses if l is not None]
+    assert ls[-1] < ls[0], ls
+    assert np.isfinite(t.evaluate())
+
+
+def test_vision_loader_resume_exact():
+    """VisionLoader reproduces the exact batch stream after a state
+    round-trip (fault-tolerant sampler semantics)."""
+    from flash_attn_tpu.training.data import LoaderState
+    from flash_attn_tpu.training.vision_data import (
+        ImageDataset,
+        VisionLoader,
+        synthetic_images,
+    )
+
+    imgs, labels = synthetic_images(40, 8, 3, seed=1)
+    ld = VisionLoader(ImageDataset(imgs, labels), batch_size=4, seed=7)
+    for _ in range(13):  # crosses an epoch boundary (10 batches/epoch)
+        next(ld)
+    state = ld.state.to_dict()
+    expected = [next(ld) for _ in range(5)]
+    ld2 = VisionLoader(ImageDataset(imgs, labels), batch_size=4,
+                       state=LoaderState.from_dict(dict(state)))
+    for exp in expected:
+        got = next(ld2)
+        np.testing.assert_array_equal(got[0], exp[0])
+        np.testing.assert_array_equal(got[1], exp[1])
