@@ -1,0 +1,58 @@
+"""Causal forward tile sweep on real TPU (round-3: close the 129.5 ->
+>=150 TF/s gap; VERDICT #1).  Usage:
+  PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/sweep_causal.py
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from flash_attn_tpu.kernels.flash_fwd import flash_attn_fwd_bhsd
+from flash_attn_tpu.utils.benchmark import attention_flops, benchmark_chained
+
+
+def run(b=1, h=16, s=8192, d=128, configs=None):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
+    su = jnp.full((b,), s, jnp.int32)
+    flops = attention_flops(b, s, s, h, d, True, "fwd")
+
+    for (bq, bk, bks, bh) in configs:
+        def step(qc, k, v, bq=bq, bk=bk, bks=bks, bh=bh):
+            o, _ = flash_attn_fwd_bhsd(
+                qc, k, v, su, su, softmax_scale=d ** -0.5, causal=True,
+                block_q=bq, block_k=bk, block_k_sub=bks, block_h=bh,
+                full_lengths=True,
+            )
+            return o.astype(qc.dtype)
+
+        try:
+            dt = benchmark_chained(step, q, k, v, iters=16, reps=3)
+            print(f"bq{bq} bk{bk} bks{bks} bh{bh}: "
+                  f"{flops / dt / 1e12:.1f} TF/s ({dt*1e3:.2f} ms)",
+                  flush=True)
+        except Exception as e:
+            print(f"bq{bq} bk{bk} bks{bks} bh{bh}: FAIL {type(e).__name__} "
+                  f"{str(e)[:120]}", flush=True)
+
+
+if __name__ == "__main__":
+    cfgs = [
+        (512, 1024, 1024, 4),   # round-2 default (with mask hoist now)
+        (512, 512, 512, 4),
+        (512, 512, 512, 8),
+        (256, 256, 256, 8),
+        (1024, 1024, 1024, 4),
+        (512, 2048, 2048, 4),
+        (1024, 512, 512, 4),
+        (512, 1024, 1024, 8),
+    ]
+    if len(sys.argv) > 1:
+        cfgs = [tuple(int(x) for x in a.split(",")) for a in sys.argv[1:]]
+    run(configs=cfgs)

@@ -342,28 +342,32 @@ def _fwd_kernel(p: FwdParams, sq_ref, sk_ref, *refs):
         off_s = p.seqlen_k - p.seqlen_q
         masked_rows_possible = (p.has_upper or p.has_lower) and off_s < 0
 
-        def qk_stage(j, hh, with_mask: bool):
+        def build_mask(j):
+            # Head-invariant: built once per subtile, shared by all heads
+            mask = None
+            cols_t = ki * bk + j * bks + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bks), 1)
+            if need_tail:
+                mask = cols_t >= p.seqlen_k
+            if p.has_upper or p.has_lower:
+                rows_t = r0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, bks), 0)
+                if p.has_upper:
+                    m2 = cols_t > rows_t + off_s + p.wr
+                    mask = m2 if mask is None else jnp.logical_or(mask, m2)
+                if p.has_lower:
+                    m3 = cols_t < rows_t + off_s - p.window_left
+                    mask = m3 if mask is None else jnp.logical_or(mask, m3)
+            return mask
+
+        def qk_stage(j, hh, mask):
             hkv_local = 0 if p.hbk == 1 else hh
             kk = k_ref[0, hkv_local, j * bks:(j + 1) * bks, :]
             s = jax.lax.dot_general(
                 q_tile(hh), kk, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            mask = None
-            if with_mask:
-                cols_t = ki * bk + j * bks + jax.lax.broadcasted_iota(
-                    jnp.int32, (bq, bks), 1)
-                if need_tail:
-                    mask = cols_t >= p.seqlen_k
-                if p.has_upper or p.has_lower:
-                    rows_t = r0 + jax.lax.broadcasted_iota(
-                        jnp.int32, (bq, bks), 0)
-                    if p.has_upper:
-                        m2 = cols_t > rows_t + off_s + p.wr
-                        mask = m2 if mask is None else jnp.logical_or(mask, m2)
-                    if p.has_lower:
-                        m3 = cols_t < rows_t + off_s - p.window_left
-                        mask = m3 if mask is None else jnp.logical_or(mask, m3)
+            if mask is not None:
                 s = jnp.where(mask, MASK_VALUE, s)
             return s, mask
 
@@ -391,8 +395,9 @@ def _fwd_kernel(p: FwdParams, sq_ref, sk_ref, *refs):
         def run_items(with_mask: bool):
             prev = None
             for j in range(nsub):
+                mask_j = build_mask(j) if with_mask else None
                 for hh in range(HB):
-                    s, mask = qk_stage(j, hh, with_mask)
+                    s, mask = qk_stage(j, hh, mask_j)
                     if prev is not None:
                         smpv_stage(*prev)
                     prev = (j, hh, s, mask)
@@ -474,6 +479,7 @@ _SCHED_FIRST = 1
 _SCHED_LAST = 2
 _SCHED_BOUNDARY = 4
 _SCHED_EMPTY = 8
+_SCHED_TYPE_SHIFT = 4  # upper bits: subtile-combo index
 
 
 def _build_schedule(p: FwdParams, nq: int, nk: int):
@@ -485,16 +491,38 @@ def _build_schedule(p: FwdParams, nq: int, nk: int):
     skipped block — up to ~45% of ticks for causal), the host enumerates
     needed pairs and the kernel walks them via scalar-prefetched tables.
 
-    Returns int32 arrays (qi_tab, ki_tab, flags) with flags bits
-    FIRST/LAST (accumulator init/flush) / BOUNDARY (mask can bite) /
-    EMPTY (q block has no valid keys: write zeros, +inf LSE).
+    Round 3: each tick also carries a **subtile combo** — per compute
+    subtile (bks columns of the bk-wide DMA tile) whether it is skipped,
+    interior (mask-free body), or masked.  The host collects the distinct
+    combos; the kernel emits ONE unpredicated body per combo (the
+    masked/unmasked inner-loop split of the reference,
+    `flash_fwd_kernel.h:52` n_masking_steps), so a diagonal tick computes
+    exactly the needed subtiles at full DMA width — diagonal waste drops
+    from ~bk/2 to ~bks/2 columns per row without shrinking the transfers.
+
+    Returns (qi_tab, ki_tab, flags, combos): flags bits FIRST/LAST/EMPTY
+    plus the combo index << _SCHED_TYPE_SHIFT; combos is a static tuple of
+    per-subtile codes (0 = skip, 1 = interior, 2 = masked).
     """
     import numpy as np
 
     sq, sk = p.seqlen_q, p.seqlen_k
     off = sk - sq
     bq, bk = p.block_q, p.block_k
+    bks = p.block_k_sub or bk
+    nsub = bk // bks
     qi_tab, ki_tab, flags = [], [], []
+    combos: dict = {}
+
+    def combo_index(codes):
+        if codes not in combos:
+            combos[codes] = len(combos)
+        return combos[codes]
+
+    # combo 0 is always the all-interior body (EMPTY padding entries point
+    # at it; they execute nothing)
+    combo_index(tuple([1] * nsub))
+
     for qi in range(nq):
         r0q = qi * bq
         r1q = r0q + bq - 1
@@ -512,31 +540,40 @@ def _build_schedule(p: FwdParams, nq: int, nk: int):
             continue
         ki_lo = max(ki_lo, 0)
         for ki in range(ki_lo, ki_hi + 1):
-            c0, c1 = ki * bk, ki * bk + bk - 1
-            interior = c1 < sk and r1q < sq
-            if p.has_upper:
-                interior = interior and c1 <= r0q + off + p.wr
-            if p.has_lower:
-                interior = interior and c0 >= r1q + off - p.window_left
-            fl = 0
+            codes = []
+            for j in range(nsub):
+                c0 = ki * bk + j * bks
+                c1 = c0 + bks - 1
+                needed = c0 <= max_col and c1 >= min_col
+                if not needed:
+                    codes.append(0)
+                    continue
+                interior = c1 < sk and r1q < sq
+                if p.has_upper:
+                    interior = interior and c1 <= r0q + off + p.wr
+                if p.has_lower:
+                    interior = interior and c0 >= r1q + off - p.window_left
+                codes.append(1 if interior else 2)
+            fl = combo_index(tuple(codes)) << _SCHED_TYPE_SHIFT
             if ki == ki_lo:
                 fl |= _SCHED_FIRST
             if ki == ki_hi:
                 fl |= _SCHED_LAST
-            if not interior:
-                fl |= _SCHED_BOUNDARY
             qi_tab.append(qi)
             ki_tab.append(ki)
             flags.append(fl)
+    combo_list = tuple(sorted(combos, key=combos.get))
     return (np.asarray(qi_tab, np.int32), np.asarray(ki_tab, np.int32),
-            np.asarray(flags, np.int32))
+            np.asarray(flags, np.int32), combo_list)
 
 
-def _fwd_sched_kernel(p: FwdParams, qi_ref, ki_ref, fl_ref, *refs):
+def _fwd_sched_kernel(p: FwdParams, combos, qi_ref, ki_ref, fl_ref, *refs):
     """Scheduled-grid forward: grid (b, h/block_h, T) walking the
     host-built tile tables.  Static-length fast path only (full_lengths):
     masks are branch-free elementwise selects against static offsets; the
-    (subtile x head) loop software-pipelines as in the dense path."""
+    (subtile x head) loop software-pipelines as in the dense path.
+    `combos`: static per-subtile code tuples (see _build_schedule) — each
+    becomes its own unpredicated body selected by the tick's type field."""
     refs = list(refs)
     q_ref, k_ref, v_ref = refs[:3]
     refs = refs[3:]
@@ -556,8 +593,8 @@ def _fwd_sched_kernel(p: FwdParams, qi_ref, ki_ref, fl_ref, *refs):
     fl = fl_ref[t]
     first = (fl & _SCHED_FIRST) != 0
     last = (fl & _SCHED_LAST) != 0
-    boundary = (fl & _SCHED_BOUNDARY) != 0
     empty = (fl & _SCHED_EMPTY) != 0
+    ctype = jax.lax.shift_right_logical(fl, _SCHED_TYPE_SHIFT)
 
     off_s = p.seqlen_k - p.seqlen_q
     r0 = qi * bq
@@ -568,24 +605,29 @@ def _fwd_sched_kernel(p: FwdParams, qi_ref, ki_ref, fl_ref, *refs):
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    def qk_stage(j, hh, with_mask: bool):
+    def build_mask(j):
+        # Head-invariant: built once per subtile and shared by every head
+        # of the block (the mask VPU work on a diagonal tick would
+        # otherwise scale with block_h).
+        cols_t = ki * bk + j * bks + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, bks), 1)
+        mask = cols_t >= p.seqlen_k
+        rows_t = r0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bks), 0)
+        if p.has_upper:
+            mask = jnp.logical_or(mask, cols_t > rows_t + off_s + p.wr)
+        if p.has_lower:
+            mask = jnp.logical_or(
+                mask, cols_t < rows_t + off_s - p.window_left)
+        return mask
+
+    def qk_stage(j, hh, mask):
         hkv_local = 0 if p.hbk == 1 else hh
         kk = k_ref[0, hkv_local, j * bks:(j + 1) * bks, :]
         s = jax.lax.dot_general(
             q_tile(hh), kk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        mask = None
-        if with_mask:
-            cols_t = ki * bk + j * bks + jax.lax.broadcasted_iota(
-                jnp.int32, (bq, bks), 1)
-            mask = cols_t >= p.seqlen_k
-            rows_t = r0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bks), 0)
-            if p.has_upper:
-                mask = jnp.logical_or(mask, cols_t > rows_t + off_s + p.wr)
-            if p.has_lower:
-                mask = jnp.logical_or(
-                    mask, cols_t < rows_t + off_s - p.window_left)
+        if mask is not None:
             s = jnp.where(mask, MASK_VALUE, s)
         return s, mask
 
@@ -612,24 +654,27 @@ def _fwd_sched_kernel(p: FwdParams, qi_ref, ki_ref, fl_ref, *refs):
         )
         acc_ref[hh] = acc_ref[hh] * alpha + pv
 
-    def run_items(with_mask: bool):
+    def run_combo(codes):
+        # Unpredicated software-pipelined body for ONE static subtile
+        # combo (0 = skip, 1 = interior, 2 = masked) — the Pallas form of
+        # the reference's masked/unmasked mainloop split
+        # (`flash_fwd_kernel.h:52` n_masking_steps, `hopper/tile_size.h`).
         prev = None
-        for j in range(nsub):
+        for j, code in enumerate(codes):
+            if code == 0:
+                continue
+            mask_j = build_mask(j) if code == 2 else None
             for hh in range(HB):
-                s, mask = qk_stage(j, hh, with_mask)
+                s, mask = qk_stage(j, hh, mask_j)
                 if prev is not None:
                     smpv_stage(*prev)
                 prev = (j, hh, s, mask)
         smpv_stage(*prev)
 
-    @pl.when(jnp.logical_and(jnp.logical_not(empty),
-                             jnp.logical_not(boundary)))
-    def _interior():
-        run_items(with_mask=False)
-
-    @pl.when(jnp.logical_and(jnp.logical_not(empty), boundary))
-    def _boundary():
-        run_items(with_mask=True)
+    for idx, codes in enumerate(combos):
+        @pl.when(jnp.logical_and(jnp.logical_not(empty), ctype == idx))
+        def _combo_body(codes=codes):
+            run_combo(codes)
 
     @pl.when(last)
     def _finalize():
@@ -735,9 +780,13 @@ def flash_attn_fwd_bhsd(
         bks = bk
     if pipelined and block_q is None and block_k is None:
         # tuned on v5e (hdim128 seq8k sweeps): dense 167.7 TF/s = 85% of
-        # 197 at 256/4096/bh8; causal 129.5 at 512/1024/bh4 on the
-        # scheduled grid (narrow kv tile bounds diagonal waste at ~bk/2
-        # columns per row, the schedule removes all skipped-tick cost).
+        # 197 at 256/4096/bh8.  Causal/local run the scheduled grid; the
+        # combo-coded schedule supports sub-bk compute subtiles
+        # (block_k_sub) but measured v5e sweeps show 512-col VMEM
+        # subslice reads run ~1.6x slower per tile than whole-tile reads
+        # and multi-combo pl.when dispatch blocks Mosaic scheduling
+        # (32-84 TF/s vs 128.6 whole-tile), so the default keeps
+        # bks == bk and eats the ~bq/2-col diagonal waste.
         if boundary_heavy:
             bq, cap = 512, 1024
         else:
@@ -807,7 +856,7 @@ def flash_attn_fwd_bhsd(
     if pipelined and boundary_heavy:
         # Scheduled grid: zero wasted ticks for causal/local masks (see
         # _build_schedule).
-        qi_tab, ki_tab, fl_tab = _build_schedule(p, nq, nk)
+        qi_tab, ki_tab, fl_tab, combos = _build_schedule(p, nq, nk)
         T = len(qi_tab)
 
         def q_map_s(b_, hb_, t, qi_r, ki_r, fl_r):
@@ -843,7 +892,7 @@ def flash_attn_fwd_bhsd(
         )
         flops = 4 * b * h * sq * sk * d // (2 if causal else 1)
         o, lse = pl.pallas_call(
-            functools.partial(_fwd_sched_kernel, p),
+            functools.partial(_fwd_sched_kernel, p, combos),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((b, h, sq_p, dv), out_dtype),
