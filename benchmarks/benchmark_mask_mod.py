@@ -54,12 +54,14 @@ def main():
         ("builtin causal (ceiling)",
          functools.partial(fa.flash_attn_func, causal=True), fl_causal),
         ("flex causal dense", functools.partial(
-            flex_attention, mask_mod=causal, block_q=bq, block_k=bk),
+            flex_attention, mask_mod=causal, block_q=bq, block_k=bk,
+            head_invariant=True),
          fl_causal),
     ]
     for name, mm in [("causal", causal), ("sliding1k", sliding),
                      ("prefix_lm", prefix_lm)]:
-        bm = create_block_mask(mm, b, h, s, s, block_q=bq, block_k=bk)
+        bm = create_block_mask(mm, b, h, s, s, block_q=bq, block_k=bk,
+                               head_invariant=True)
         fl = attention_flops(b, s, s, h, d, False, "fwd") * bm.sparsity
         cases.append((f"flex {name} sparse (density {bm.sparsity:.2f})",
                       functools.partial(flex_attention, mask_mod=mm,

@@ -120,6 +120,7 @@ def create_block_mask(
     block_k: int = 512,
     q_aux=None,
     kv_aux=None,
+    head_invariant: bool = False,
 ):
     """Evaluate `mask_mod` and build the block-sparse iteration structure.
 
@@ -129,6 +130,15 @@ def create_block_mask(
     vmapped pass over the (q_len, kv_len) index grid per (b, h) — done in
     XLA, not in a hand-written kernel (bandwidth-bound boolean reduce).
     Pass the same `q_aux`/`kv_aux` you will pass to `flex_attention`.
+
+    `head_invariant=True` declares that `mask_mod` does not depend on `h`
+    (causal, sliding window, document masks...).  The mask is evaluated
+    once (h=0) and the index tables are stored with a broadcast head dim
+    of 1 — this unlocks the head-blocked forward kernel, which shares K/V
+    tiles and the in-kernel mask across a block of heads and software-
+    pipelines their independent softmax chains (the flex analogue of the
+    main kernel's block_h; without it every (b, h) walks its own serial
+    QK->softmax->PV chain and the MXU idles on the VPU steps).
     """
     q_len_p = round_up(q_len, block_q)
     kv_len_p = round_up(kv_len, block_k)
@@ -157,7 +167,7 @@ def create_block_mask(
         return m.reshape(nq, block_q, nk, block_k)
 
     bb = jnp.arange(B, dtype=jnp.int32)
-    hh = jnp.arange(H, dtype=jnp.int32)
+    hh = jnp.arange(1 if head_invariant else H, dtype=jnp.int32)
     blocks = jax.vmap(lambda b: jax.vmap(lambda h: eval_bh(b, h))(hh))(bb)
     # (B, H, nq, bq, nk, bk) -> any/all per block
     any_ = blocks.any(axis=(3, 5))
@@ -178,10 +188,13 @@ def create_block_mask(
     )
 
 
-def _dense_block_mask(B, H, q_len, kv_len, block_q, block_k, has_mask):
+def _dense_block_mask(B, H, q_len, kv_len, block_q, block_k, has_mask,
+                      head_invariant=False):
     """All blocks listed; partial iff has_mask or the block is padded."""
     nq = cdiv(max(q_len, 1), block_q)
     nk = cdiv(max(kv_len, 1), block_k)
+    if head_invariant:
+        H = 1
     idx = jnp.broadcast_to(
         jnp.arange(nk, dtype=jnp.int32), (B, H, nq, nk)
     )
@@ -491,6 +504,128 @@ def _flex_fwd_sched_kernel(
         lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
+def _flex_fwd_hb_kernel(
+    scale, score_mod, mask_mod, g, bq, bk, sk_real, has_aux, has_bias,
+    folded, HB, hbk, bias_b1, bias_h1, qi_ref, blk_ref, fl_ref,
+    *refs,
+):
+    """Head-blocked scheduled flex forward (head-invariant block masks).
+
+    One grid tick processes `HB` heads against a shared K/V tile: the
+    (head) loop software-pipelines exactly as `flash_fwd._fwd_sched_kernel`
+    — the QK matmul of head hh+1 overlaps the softmax/PV of head hh, so
+    the MXU no longer stalls on the single-head serial chain (measured
+    ~2.8x per computed block in round 2).  The in-kernel `mask_mod` is
+    evaluated once per tick (h = first head of the block — the
+    head_invariant contract) and shared by all heads; `score_mod` still
+    runs per head with its own h index."""
+    refs = list(refs)
+    q_ref, k_ref, v_ref = refs[:3]
+    refs = refs[3:]
+    if has_aux:
+        qa_ref, ka_ref = refs[:2]
+        refs = refs[2:]
+    else:
+        qa_ref = ka_ref = None
+    bias_ref = refs.pop(0) if has_bias else None
+    o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
+    b = pl.program_id(0)
+    hb = pl.program_id(1)
+    t = pl.program_id(2)
+    hq0 = hb * HB
+    qi = qi_ref[b, t]
+    kv_blk = blk_ref[b, t]
+    fl = fl_ref[b, t]
+    first = (fl & _FX_FIRST) != 0
+    last = (fl & _FX_LAST) != 0
+    partial = (fl & _FX_PART) != 0
+    empty = (fl & _FX_EMPTY) != 0
+    aux = _aux_args(has_aux, qa_ref, ka_ref, bq, bk)
+    c = 1.0 if folded else LOG2E
+
+    @pl.when(first)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def build_keep():
+        rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        cols = kv_blk * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        keep = cols < sk_real
+        if mask_mod is not None:
+            keep = jnp.logical_and(keep, mask_mod(b, hq0, rows, cols, *aux))
+        return keep
+
+    def qk_stage(hh, keep):
+        q = q_ref[0, hh]
+        k = k_ref[0, 0 if hbk == 1 else hh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if not folded:
+            s = s * scale
+        if has_bias:
+            s = s + bias_ref[0, 0 if bias_h1 else hh].astype(jnp.float32)
+        if score_mod is not None:
+            rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            cols = kv_blk * bk + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bk), 1)
+            s = score_mod(s, b, hq0 + hh, rows, cols, *aux)
+        if keep is not None:
+            s = jnp.where(keep, s, MASK_VALUE)
+        return s
+
+    def smpv_stage(hh, s, keep):
+        v = v_ref[0, 0 if hbk == 1 else hh]
+        m_prev = m_ref[hh, :, :1]
+        l_prev = l_ref[hh, :, :1]
+        m_curr = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp2((m_prev - m_curr) * c)
+        pmat = jnp.exp2((s - m_curr) * c)
+        if keep is not None:
+            pmat = jnp.where(keep, pmat, 0.0)
+        l_curr = l_prev * alpha + jnp.sum(pmat, axis=1, keepdims=True)
+        m_ref[hh] = jnp.broadcast_to(m_curr, m_ref.shape[1:])
+        l_ref[hh] = jnp.broadcast_to(l_curr, l_ref.shape[1:])
+        pv = jax.lax.dot_general(
+            pmat.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[hh] = acc_ref[hh] * alpha + pv
+
+    def run(masked):
+        keep = build_keep() if masked else None
+        prev = None
+        for hh in range(HB):
+            s = qk_stage(hh, keep)
+            if prev is not None:
+                smpv_stage(*prev)
+            prev = (hh, s, keep)
+        smpv_stage(*prev)
+
+    @pl.when(jnp.logical_and(jnp.logical_not(empty),
+                             jnp.logical_not(partial)))
+    def _full():
+        run(masked=False)
+
+    @pl.when(jnp.logical_and(jnp.logical_not(empty), partial))
+    def _part():
+        run(masked=True)
+
+    @pl.when(last)
+    def _finalize():
+        for hh in range(HB):
+            l_final = l_ref[hh, :, :1]
+            m_final = m_ref[hh, :, :1]
+            zero = l_final == 0.0
+            l_safe = jnp.where(zero, 1.0, l_final)
+            o_ref[0, hh] = (acc_ref[hh] / l_safe).astype(o_ref.dtype)
+            m_nat = m_final / LOG2E if folded else m_final
+            lse = jnp.where(zero, jnp.inf, m_nat + jnp.log(l_safe))
+            lse_ref[0, hh] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
 def _prep_aux(aux, b, s_p, dtype_fallback=jnp.int32):
     """(b, s) aux -> (b, s_p, STAT_LANES) lane-replicated stream."""
     if aux is None:
@@ -523,9 +658,93 @@ def _prep_bias(bias, b, h, sq_p, sk_p):
     return bias
 
 
+def _flex_fwd_hb(
+    q, k, v, scale, score_mod, mask_mod, g, bq, bk, sq, sk,
+    sq_p, sk_p, qa, ka, bias, has_aux, qi_tab, blk_tab, fl_tab, T, hb,
+):
+    """Head-blocked scheduled forward launch (see _flex_fwd_hb_kernel).
+    Tables are (b, T) — shared by every head."""
+    b, h, _, d = q.shape
+    hbk = hb if g == 1 else 1
+
+    def q_map(b_, hb_, t, qi_r, blk_r, fl_r):
+        return (b_, hb_, qi_r[b_, t], 0)
+
+    def kv_map(b_, hb_, t, qi_r, blk_r, fl_r):
+        if g == 1:
+            return (b_, hb_, blk_r[b_, t], 0)
+        return (b_, (hb_ * hb) // g, blk_r[b_, t], 0)
+
+    in_specs = [
+        pl.BlockSpec((1, hb, bq, d), q_map),
+        pl.BlockSpec((1, hbk, bk, d), kv_map),
+        pl.BlockSpec((1, hbk, bk, d), kv_map),
+    ]
+    inputs = [q, k, v]
+    if has_aux:
+        in_specs.append(pl.BlockSpec(
+            (1, bq, STAT_LANES),
+            lambda b_, hb_, t, qi_r, *r: (b_, qi_r[b_, t], 0)))
+        in_specs.append(pl.BlockSpec(
+            (1, 1, 8, bk),
+            lambda b_, hb_, t, qi_r, blk_r, fl_r: (b_, blk_r[b_, t], 0, 0),
+        ))
+        inputs += [qa, ka]
+    has_bias = bias is not None
+    bias_b1 = bias_h1 = False
+    if has_bias:
+        bias = _prep_bias(bias, b, h, sq_p, sk_p)
+        bb, bh_ = bias.shape[:2]
+        bias_b1, bias_h1 = bb == 1, bh_ == 1
+        in_specs.append(pl.BlockSpec(
+            (1, 1 if bias_h1 else hb, bq, bk),
+            lambda b_, hb_, t, qi_r, blk_r, fl_r: (
+                0 if bias_b1 else b_, 0 if bias_h1 else hb_,
+                qi_r[b_, t], blk_r[b_, t]),
+        ))
+        inputs.append(bias)
+
+    folded = score_mod is None and not has_bias
+    if folded:
+        inputs[0] = (inputs[0].astype(jnp.float32) * (scale * LOG2E)
+                     ).astype(inputs[0].dtype)
+
+    kernel = functools.partial(
+        _flex_fwd_hb_kernel, scale, score_mod, mask_mod, g, bq, bk, sk,
+        has_aux, has_bias, folded, hb, hbk, bias_b1, bias_h1,
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b, h // hb, T),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, hb, bq, d), q_map),
+                pl.BlockSpec((1, hb, bq, LANES), q_map),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((hb, bq, d), jnp.float32),
+                pltpu.VMEM((hb, bq, LANES), jnp.float32),
+                pltpu.VMEM((hb, bq, LANES), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq_p, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=use_interpret(),
+    )(qi_tab, blk_tab, fl_tab, *inputs)
+    return o[:, :, :sq, :], lse[:, :, :sq, 0]
+
+
 def _flex_fwd(
     q, k, v, mask: BlockMask, score_mod, mask_mod, scale,
-    q_aux=None, kv_aux=None, bias=None,
+    q_aux=None, kv_aux=None, bias=None, block_h=None,
 ):
     b, h, sq, d = q.shape
     _, hk, sk, _ = k.shape
@@ -552,6 +771,25 @@ def _flex_fwd(
     # scheduled grid: the BlockMask flattened into (b, h, T) tile tables
     qi_tab, blk_tab, fl_tab = _flex_schedule(mask, nq, nk)
     T = int(qi_tab.shape[-1])
+
+    # Head-invariant block structure (tables carry a broadcast head dim of
+    # 1) unlocks the head-blocked kernel: HB independent softmax chains
+    # per tick share one K/V tile and software-pipeline against each other.
+    head_invariant = qi_tab.shape[1] == 1
+    hb_limit = h if g == 1 else g  # a head block must live in one kv group
+    hb = min(block_h if block_h is not None else 8, hb_limit)
+    while hb_limit % hb:
+        hb -= 1
+    if head_invariant and hb > 1:
+        return _flex_fwd_hb(
+            q, k, v, scale, score_mod, mask_mod, g, bq, bk, sq, sk,
+            sq_p, sk_p, qa, ka, bias, has_aux,
+            qi_tab[:, 0], blk_tab[:, 0], fl_tab[:, 0], T, hb,
+        )
+    if head_invariant:
+        qi_tab, blk_tab, fl_tab = (
+            jnp.broadcast_to(x, (b, h, T)) for x in (qi_tab, blk_tab, fl_tab)
+        )
 
     def q_map(b_, h_, t, qi_r, blk_r, fl_r):
         return (b_, h_, qi_r[b_, h_, t], 0)
@@ -840,6 +1078,12 @@ def _flex_bwd(
     _, hk, sk, _ = k.shape
     g = h // hk
     bq, bk = mask.block_q, mask.block_k
+    if mask.kv_num.shape[1] == 1 and h > 1:
+        # head-invariant tables (broadcast head dim) — the backward grids
+        # index per (b, h); expand the small int tables
+        mask = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (x.shape[0], h, *x.shape[2:])),
+            mask)
     sq_p = round_up(max(sq, bq), bq)
     sk_p = round_up(max(sk, bk), bk)
     nq, nk = sq_p // bq, sk_p // bk
@@ -1070,6 +1314,8 @@ def flex_attention(
     attn_bias=None,
     block_q: int = 512,
     block_k: int = 512,
+    block_h: Optional[int] = None,
+    head_invariant: bool = False,
     return_lse: bool = False,
 ):
     """Programmable flash attention, (b, s, h, d) layout.
@@ -1096,6 +1342,11 @@ def flex_attention(
     mods.  Fully differentiable: d(loss)/d(attn_bias) is computed by the
     backward (broadcast dims are sum-reduced), matching the Triton FA's
     dbias.
+
+    `head_invariant=True` declares the `mask_mod` independent of `h`
+    (see `create_block_mask`), enabling the head-blocked kernel even
+    without a precomputed block mask.  `block_h` caps the heads per grid
+    tick on that path (default 8).
     """
     b, sq, h, d = q.shape
     sk = k.shape[1]
@@ -1104,7 +1355,8 @@ def flex_attention(
     scale = float(softmax_scale)
     if block_mask is None:
         block_mask = _dense_block_mask(
-            b, h, sq, sk, block_q, block_k, mask_mod is not None
+            b, h, sq, sk, block_q, block_k, mask_mod is not None,
+            head_invariant=head_invariant or mask_mod is None,
         )
     qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
     has_qa = q_aux is not None
@@ -1124,7 +1376,7 @@ def flex_attention(
     def core(qt, kt, vt, bm, *auxes):
         qa, ka, bias = unpack_aux(auxes)
         return _flex_fwd(qt, kt, vt, bm, score_mod, mask_mod, scale,
-                         q_aux=qa, kv_aux=ka, bias=bias)
+                         q_aux=qa, kv_aux=ka, bias=bias, block_h=block_h)
 
     def core_fwd(qt, kt, vt, bm, *auxes):
         o, lse = core(qt, kt, vt, bm, *auxes)
