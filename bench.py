@@ -39,7 +39,7 @@ def main():
 
     dt = benchmark_attention_fwd(
         fa.flash_attn_func, q, k, v, causal=False, iters=iters,
-        reps=5 if on_tpu else 1,
+        reps=7 if on_tpu else 1, agg="min" if on_tpu else "median",
     )
     tflops = attention_flops(b, s, s, h, d, False, "fwd") / dt / 1e12
     frac = tflops / peak_tflops

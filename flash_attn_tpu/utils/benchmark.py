@@ -32,8 +32,8 @@ def _scalarize(tree):
 
 
 def benchmark_chained(step_fn, carry, *consts, iters: int = 32, reps: int = 3,
-                      donate: bool = False):
-    """Median per-iteration seconds of `carry -> step_fn(carry, *consts)`.
+                      donate: bool = False, agg: str = "median"):
+    """Per-iteration seconds of `carry -> step_fn(carry, *consts)`.
 
     Large loop-invariant operands (weights, KV caches) must be passed via
     `consts`, NOT closed over — closure arrays are inlined into the HLO as
@@ -42,7 +42,13 @@ def benchmark_chained(step_fn, carry, *consts, iters: int = 32, reps: int = 3,
     `donate=True` donates the carry buffers between timing calls (halves
     the resident state — needed when the carry is a full train state) but
     INVALIDATES the caller's carry arrays.
-    """
+
+    `agg`: "median" takes the median of per-rep (t2N - tN) differences;
+    "min" takes min(t2N) - min(tN) across reps.  Tunnel/host jitter here is
+    strictly additive, so the min of each leg is its cleanest estimate and
+    the difference of mins rejects outliers that a median of noisy
+    differences lets through (the reference's best-of-timeit pattern,
+    `flash_attn/utils/benchmark.py:8`)."""
     import functools
 
     def chain(n):
@@ -63,30 +69,34 @@ def benchmark_chained(step_fn, carry, *consts, iters: int = 32, reps: int = 3,
         float(s)
         c, s = g2(c, *consts)
         float(s)
-        ds = []
+        t1s, t2s = [], []
         for _ in range(reps):
             t0 = time.perf_counter()
             c, s = g1(c, *consts)
             float(s)
-            t1 = time.perf_counter() - t0
+            t1s.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
             c, s = g2(c, *consts)
             float(s)
-            t2 = time.perf_counter() - t0
-            ds.append((t2 - t1) / iters)
-        return float(np.median(ds))
+            t2s.append(time.perf_counter() - t0)
+        return _aggregate(t1s, t2s, iters, agg)
     float(g1(carry, *consts))
     float(g2(carry, *consts))
-    ds = []
+    t1s, t2s = [], []
     for _ in range(reps):
         t0 = time.perf_counter()
         float(g1(carry, *consts))
-        t1 = time.perf_counter() - t0
+        t1s.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         float(g2(carry, *consts))
-        t2 = time.perf_counter() - t0
-        ds.append((t2 - t1) / iters)
-    return float(np.median(ds))
+        t2s.append(time.perf_counter() - t0)
+    return _aggregate(t1s, t2s, iters, agg)
+
+
+def _aggregate(t1s, t2s, iters, agg):
+    if agg == "min":
+        return float((min(t2s) - min(t1s)) / iters)
+    return float(np.median([(b - a) / iters for a, b in zip(t1s, t2s)]))
 
 
 def attention_flops(b, sq, sk, h, d, causal=False, mode="fwd"):
@@ -96,7 +106,8 @@ def attention_flops(b, sq, sk, h, d, causal=False, mode="fwd"):
 
 
 def benchmark_attention_fwd(
-    flash_fn, q, k, v, iters: int = 32, reps: int = 3, **kw
+    flash_fn, q, k, v, iters: int = 32, reps: int = 3, agg: str = "median",
+    **kw
 ):
     """Time `flash_fn(q, k, v, **kw)` chained through q (same shape as out)."""
 
@@ -104,7 +115,7 @@ def benchmark_attention_fwd(
         o = flash_fn(q, k, v, **kw)
         return o.astype(q.dtype)
 
-    return benchmark_chained(step, q, k, v, iters=iters, reps=reps)
+    return benchmark_chained(step, q, k, v, iters=iters, reps=reps, agg=agg)
 
 
 def benchmark_attention_fwd_bwd(flash_fn, q, k, v, iters=16, reps=3, **kw):
