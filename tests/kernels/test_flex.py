@@ -337,3 +337,69 @@ def test_flex_dbias():
         gr = jax.grad(loss_ref, 3)(q, k, v, bias)
         assert g.shape == bias.shape
         assert float(jnp.abs(g - gr).max()) < 2e-3, (bb, bh)
+
+
+def test_flex_head_blocked_paths():
+    """Head-invariant masks run the head-blocked kernel (shared K/V tile,
+    pipelined per-head softmax chains) and must match both the dense
+    reference and the per-head kernel bit-for-bit in structure-equivalent
+    configs (round-3 perf lever; reference treats mask mods as a
+    first-class benchmarked path, `benchmarks/cute/benchmark_mask_mod.py`)."""
+    b, s, h, d = 2, 256, 8, 64
+    q, k, v = make_qkv(b, s, s, h, h, d, jnp.float32, seed=21)
+
+    def sw(b_, h_, qi, ki):
+        return (qi >= ki) & (qi - ki <= 100)
+
+    # head-invariant tables carry a broadcast head dim of 1
+    bm = create_block_mask(sw, b, h, s, s, block_q=128, block_k=128,
+                           head_invariant=True)
+    assert bm.kv_num.shape[1] == 1
+    out = flex_attention(q, k, v, mask_mod=sw, block_mask=bm)
+    out_ref = dense_ref(q, k, v, mask_mod=sw)
+    check_close(out, out_ref, out_ref)
+
+    # same mask via per-head tables must agree exactly in fp32
+    bm_h = create_block_mask(sw, b, h, s, s, block_q=128, block_k=128)
+    out_h = flex_attention(q, k, v, mask_mod=sw, block_mask=bm_h,
+                           block_h=1)
+    assert float(jnp.abs(out - out_h).max()) < 1e-5
+
+    # gradients ride the (broadcast-table) backward
+    g = jnp.asarray(np.random.default_rng(5).standard_normal(out.shape),
+                    jnp.float32)
+
+    def lf(q, k, v, hi):
+        o = flex_attention(q, k, v, mask_mod=sw, block_q=128, block_k=128,
+                           head_invariant=hi)
+        return jnp.sum(o * g)
+
+    da = jax.grad(lf, (0, 1, 2))(q, k, v, True)
+    db = jax.grad(lf, (0, 1, 2))(q, k, v, False)
+    for x, y in zip(da, db):
+        assert float(jnp.abs(x - y).max()) < 1e-5
+
+
+def test_flex_head_blocked_score_mod_gqa():
+    """Per-head score mods stay exact on the head-blocked path (each head
+    gets its own h index), including GQA where the head block shares one
+    kv head."""
+    b, s, h, hk, d = 1, 256, 8, 2, 64
+    q, k, v = make_qkv(b, s, s, h, hk, d, jnp.float32, seed=22)
+    slopes = 0.01 * (np.arange(h) + 1)
+
+    def smod(sc, b_, h_, qi, ki):
+        sl = 0.01 * (h_.astype(jnp.float32) + 1.0) \
+            if hasattr(h_, "astype") else 0.01 * (h_ + 1)
+        return sc - sl * jnp.abs(qi - ki)
+
+    out = flex_attention(q, k, v, mask_mod=causal_mask, score_mod=smod,
+                         block_q=128, block_k=128, head_invariant=True)
+    qi = jnp.arange(s)[:, None]
+    ki = jnp.arange(s)[None, :]
+    bias = -jnp.asarray(slopes)[None, :, None, None] * jnp.abs(qi - ki)
+    out_ref = dense_ref(jnp.repeat(q, 1, 2),
+                        jnp.repeat(k, h // hk, 2),
+                        jnp.repeat(v, h // hk, 2),
+                        mask_mod=causal_mask, score_bias=bias)
+    check_close(out, out_ref, out_ref)
