@@ -391,10 +391,11 @@ def flash_attn_varlen_func(
     # padded; the host-built tile schedule walks exactly the needed block
     # pairs — `kernels/varlen_sched.py`).  Near-uniform batches keep the
     # padded path (the dense pipelined kernel at full rate).  Dropout
-    # stays padded (its keep-mask hash is padded-coordinate); the packed
-    # aux word keeps 16 position bits per token, so longer sequences also
-    # stay padded.
-    routable = (dropout_p == 0.0 and seqused_q is None and seqused_k is None
+    # hashes its keep mask on packed-stream coordinates; the backward
+    # reproduces it via per-sequence offsets (flash_bwd packed_dropout).
+    # The packed aux word keeps 16 position bits per token, so longer
+    # sequences stay padded.
+    routable = (seqused_q is None and seqused_k is None
                 and not return_attn_probs)
     fits_packed = max(max_seqlen_q, max_seqlen_k) <= 0xFFFF
     if routable and fits_packed and b * max_seqlen_q >= 2 * q.shape[0] and b > 1:
@@ -407,7 +408,8 @@ def flash_attn_varlen_func(
             max_seqlen_q, max_seqlen_k,
             softmax_scale=float(softmax_scale), causal=causal,
             window_size=window_size, softcap=softcap,
-            alibi_slopes=alibi_slopes,
+            alibi_slopes=alibi_slopes, dropout_p=dropout_p,
+            dropout_seed=dropout_seed,
         )
     lens_q = cu_seqlens_q[1:] - cu_seqlens_q[:-1]
     lens_k = cu_seqlens_k[1:] - cu_seqlens_k[:-1]

@@ -63,6 +63,13 @@ class BwdParams:
     block_k: int
     dropout_p: float = 0.0
     attention_chunk: int = 0
+    # >0: the forward hashed dropout with PACKED-stream coordinates
+    # (varlen_sched kernel: batch 0, absolute token positions).  Value =
+    # batch count; the seed SMEM array then carries per-sequence q/k
+    # offsets at [1:1+b] / [1+b:1+2b] and keep masks are computed as
+    # (0, h, row + qoff[b], col + koff[b]) so the padded backward
+    # reproduces the packed forward's mask bit-for-bit.
+    packed_dropout: int = 0
     # Score-consistency mode: q_ref holds q * scale * log2(e) rounded to
     # the input dtype — BITWISE the forward's folded Q — and lse_ref holds
     # lse * log2(e), so pmat = exp2(s - lse) reproduces the forward's
@@ -96,6 +103,17 @@ class BwdParams:
             block_k=self.block_k,
             num_kv_blocks=num_kv_blocks,
         )
+
+
+def _bwd_keep(p: BwdParams, seed_ref, b, hq, rows, cols):
+    """Dropout keep mask matching the forward that produced the lse (see
+    BwdParams.packed_dropout)."""
+    if p.packed_dropout:
+        nb = p.packed_dropout
+        return dropout_keep(
+            seed_ref[0], 0, hq, rows + seed_ref[1 + b],
+            cols + seed_ref[1 + nb + b], p.dropout_p)
+    return dropout_keep(seed_ref[0], b, hq, rows, cols, p.dropout_p)
 
 
 def _bwd_dq_kernel(p: BwdParams, sq_ref, sk_ref, *refs):
@@ -167,7 +185,7 @@ def _bwd_dq_kernel(p: BwdParams, sq_ref, sk_ref, *refs):
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         if p.dropout_p > 0.0:
-            keep = dropout_keep(seed_ref[0], b, hq, rows, cols, p.dropout_p)
+            keep = _bwd_keep(p, seed_ref, b, hq, rows, cols)
             dp = jnp.where(keep, dp, 0.0) * (1.0 / (1.0 - p.dropout_p))
         ds = pmat * (dp - delta_row)
         if p.softcap > 0.0:
@@ -278,8 +296,8 @@ def _bwd_dkv_kernel(p: BwdParams, sq_ref, sk_ref, *refs):
             jnp.exp2((s - lse_row) * LOG2E))
         pd = pmat
         if p.dropout_p > 0.0:
-            keep = dropout_keep(seed_ref[0], b, hk_i * p.g + t % p.g,
-                                rows, cols, p.dropout_p)
+            keep = _bwd_keep(p, seed_ref, b, hk_i * p.g + t % p.g,
+                             rows, cols)
             rp = 1.0 / (1.0 - p.dropout_p)
             pd = jnp.where(keep, pmat, 0.0) * rp
         # dV += Pd^T dO
@@ -402,8 +420,8 @@ def _bwd_fused_kernel(p: BwdParams, nq: int, sq_ref, sk_ref, *refs):
             jnp.exp2((s - lse_row) * LOG2E))
         pd = pmat
         if p.dropout_p > 0.0:
-            keep = dropout_keep(seed_ref[0], b, hk_i * p.g + gi,
-                                rows, cols, p.dropout_p)
+            keep = _bwd_keep(p, seed_ref, b, hk_i * p.g + gi,
+                             rows, cols)
             rp = 1.0 / (1.0 - p.dropout_p)
             pd = jnp.where(keep, pmat, 0.0) * rp
         # dV += Pd^T dO
@@ -548,6 +566,7 @@ def flash_attn_bwd_bhsd(
     block_q: int | None = None,
     block_k: int | None = None,
     dlse=None,
+    dropout_packed_offsets=None,
 ):
     """Backward flash attention on (b, h, s, d)-layout operands.
 
@@ -623,10 +642,16 @@ def flash_attn_bwd_bhsd(
         dropout_p=float(dropout_p),
         attention_chunk=int(attention_chunk),
         folded=folded,
+        packed_dropout=b if dropout_packed_offsets is not None else 0,
     )
     seed = jnp.asarray(
         0 if dropout_seed is None else dropout_seed, jnp.int32
     ).reshape(1)
+    if dropout_packed_offsets is not None:
+        qoff, koff = dropout_packed_offsets
+        seed = jnp.concatenate([
+            seed, jnp.asarray(qoff, jnp.int32).reshape(b),
+            jnp.asarray(koff, jnp.int32).reshape(b)])
 
     slopes = None
     if alibi_slopes is not None:

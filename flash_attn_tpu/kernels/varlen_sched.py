@@ -473,12 +473,6 @@ def _sched_core_bwd(max_sq, max_sk, scale, causal, window, softcap,
     `flash_attn_bwd_bhsd` with per-sequence seqused, scatter grads back."""
     from flash_attn_tpu.kernels.flash_bwd import flash_attn_bwd_bhsd
 
-    if dropout_p > 0.0:
-        raise NotImplementedError(
-            "gradients through the scheduled packed-varlen forward with "
-            "dropout are not supported (the packed keep-mask hash differs "
-            "from the padded backward's); use flash_attn_varlen_func, "
-            "which routes dropout to the padded path")
     q, k, v, cu_q, cu_k, o, lse, slopes, dropout_seed = res
     total_q, h, d = q.shape
     total_k = k.shape[0]
@@ -508,6 +502,11 @@ def _sched_core_bwd(max_sq, max_sk, scale, causal, window, softcap,
         softmax_scale=scale, causal=causal, window_size=window,
         softcap=softcap, alibi_slopes=slopes, dropout_p=dropout_p,
         dropout_seed=dropout_seed,
+        # the packed forward hashed dropout on packed-stream coordinates;
+        # shift the padded layout's (row, col) by each sequence's start so
+        # the keep masks agree bit-for-bit
+        dropout_packed_offsets=(
+            (cu_q[:-1], cu_k[:-1]) if dropout_p > 0.0 else None),
     )
 
     def to_packed(xp, cu, total, max_s, lens):

@@ -260,3 +260,59 @@ def test_varlen_fp8(causal, ragged):
     # the kernel's scale*log2e fold) — one rounding more than the
     # yardstick; the repo's standard absolute floor covers that ulp.
     check_close(out, out_ref, out_pt, atol_floor=8e-3)
+
+
+def test_sched_dropout_grads():
+    """Dropout through the packed kernel must agree EXACTLY with a dense
+    reference masked by the same packed-coordinate keep mask, both in the
+    forward and in gradients via the padded backward's packed_dropout
+    offsets (round-2 gap: the padded hash differed, so dropout grads
+    raised; reference validates dropout via the extracted S_dmask,
+    `tests/test_flash_attn.py`)."""
+    from flash_attn_tpu.kernels.flash_fwd import dropout_keep
+
+    lens = [96, 40, 120]
+    p_drop, seed = 0.3, 7
+    q, k, v, cu = mk(lens, seed=4, dtype=jnp.float32)
+    h = q.shape[1]
+    do = jnp.asarray(
+        np.random.default_rng(11).standard_normal(q.shape), jnp.float32)
+
+    def loss(q, k, v):
+        o = flash_attn_varlen_sched_func(
+            q, k, v, cu, cu, max(lens), max(lens), causal=True,
+            dropout_p=p_drop, dropout_seed=seed)
+        return jnp.sum(o * do), o
+
+    (_, o), grads = jax.value_and_grad(loss, (0, 1, 2), has_aux=True)(
+        q, k, v)
+
+    # dense per-seq reference with the SAME keep mask (packed coords, b=0)
+    def loss_ref(q, k, v):
+        cq = np.asarray(cu)
+        t = 0.0
+        outs = []
+        for i in range(len(lens)):
+            sl = slice(cq[i], cq[i + 1])
+            qi, ki, vi = q[sl], k[sl], v[sl]
+            n = lens[i]
+            s = jnp.einsum("qhd,khd->hqk", qi, ki) / np.sqrt(q.shape[-1])
+            causal_m = (jnp.arange(n)[:, None] >= jnp.arange(n)[None, :])
+            s = jnp.where(causal_m[None], s, -jnp.inf)
+            p = jax.nn.softmax(s, axis=-1)
+            rows = cq[i] + jnp.arange(n, dtype=jnp.int32)[:, None]
+            cols = cq[i] + jnp.arange(n, dtype=jnp.int32)[None, :]
+            keep = jnp.stack([
+                dropout_keep(jnp.int32(seed), 0, hh, rows, cols, p_drop)
+                for hh in range(h)])
+            p = jnp.where(keep, p, 0.0) / (1.0 - p_drop)
+            oi = jnp.einsum("hqk,khd->qhd", p, vi)
+            outs.append(oi)
+            t = t + jnp.sum(oi * do[sl])
+        return t, jnp.concatenate(outs, 0)
+
+    (_, o_ref), grads_ref = jax.value_and_grad(
+        loss_ref, (0, 1, 2), has_aux=True)(q, k, v)
+    assert float(jnp.abs(o - o_ref).max()) < 2e-4
+    for n, a, b in zip("qkv", grads, grads_ref):
+        assert float(jnp.abs(a - b).max()) < 2e-3, n
