@@ -157,6 +157,7 @@ def flash_attn_func(
     sinks=None,
     dropout_seed=None,
     attention_chunk=0,
+    qv=None,
 ):
     """Multi-head attention, (b, s, h, d) layout (`flash_attn_func:1145`).
 
@@ -172,8 +173,21 @@ def flash_attn_func(
     `sinks`: (nheads,) learnable attention-sink logits (softmax denominator
     only; `cute/interface.py:1149`).  Fully differentiable, including
     d(loss)/d(sinks).
+
+    `qv`: (b, s, h, dv) extra query against V — scores become
+    Q·Kᵀ + Qv·Vᵀ (FA3 gemm_qv accumulating into S,
+    `hopper/mainloop_fwd_sm90_tma_gmma_ws.hpp:1147`; default scale
+    1/sqrt(d+dv), `hopper/flash_attn_interface.py:276`).  On TPU this is
+    one bigger MXU matmul, [Q|Qv]·[K|V]ᵀ, so it folds by concatenation
+    along the head dim — and unlike the reference (fwd-only) the backward
+    (dq, dqv, dk, dv) falls out of the concat's vjp.
     """
     _check_dropout(dropout_p)
+    if qv is not None:
+        if softmax_scale is None:
+            softmax_scale = 1.0 / math.sqrt(q.shape[-1] + qv.shape[-1])
+        q = jnp.concatenate([q, qv.astype(q.dtype)], axis=-1)
+        k = jnp.concatenate([k, v.astype(k.dtype)], axis=-1)
     del deterministic  # always deterministic on TPU
     b, sq, h, d = q.shape
     sk = k.shape[1]
@@ -314,6 +328,7 @@ def flash_attn_varlen_func(
     q_descale=None,
     k_descale=None,
     v_descale=None,
+    qv=None,
 ):
     """Varlen attention over packed tokens (`flash_attn_varlen_func:1380`).
 
@@ -334,6 +349,15 @@ def flash_attn_varlen_func(
     """
     _check_dropout(dropout_p)
     del deterministic
+    if qv is not None:
+        # FA3 qv (S = Q·Kᵀ + Qv·Vᵀ): fold by [Q|Qv]·[K|V]ᵀ concat — see
+        # flash_attn_func.  Packed streams concat the same way.
+        if _is_fp8(q):
+            raise NotImplementedError("qv is not supported with fp8 inputs")
+        if softmax_scale is None:
+            softmax_scale = 1.0 / math.sqrt(q.shape[-1] + qv.shape[-1])
+        q = jnp.concatenate([q, qv.astype(q.dtype)], axis=-1)
+        k = jnp.concatenate([k, v.astype(k.dtype)], axis=-1)
     if _is_fp8(q) and block_table is None:
         if dropout_p > 0.0:
             raise NotImplementedError(

@@ -1018,6 +1018,7 @@ def flash_attn_with_kvcache(
     sm_margin=0,
     return_softmax_lse=False,
     return_updated_cache=False,
+    qv=None,
 ):
     """Decode attention with KV cache (`flash_attn_with_kvcache:1474`).
 
@@ -1035,6 +1036,7 @@ def flash_attn_with_kvcache(
     if scheduler_metadata is not None and not num_splits:
         # dict from get_scheduler_metadata (`flash_attn_interface.py:803`)
         num_splits = int(scheduler_metadata.get("num_splits", 0))
+    _scale_was_default = softmax_scale is None
     if softmax_scale is None:
         softmax_scale = 1.0 / math.sqrt(d)
     paged = block_table is not None
@@ -1106,10 +1108,24 @@ def flash_attn_with_kvcache(
             vc = vc.at[jnp.asarray(bidx)[:, None], sidx].set(v)
         new_len = cache_seqlens + snew
 
+    qd, kcd, vcd = q, kc, vc
+    if qv is not None:
+        # FA3 qv (S = Q·Kᵀ + Qv·Vᵀ, `hopper/flash_attn_interface.py:724`):
+        # fold as [Q|Qv]·[Kc|Vc]ᵀ along the head dim, after rotary/append so
+        # the returned caches keep the reference layout.  Scale default is
+        # 1/sqrt(d+dv) (`hopper/flash_attn_interface.py:370`) — only when
+        # the caller left softmax_scale unset.
+        if quant_cache:
+            raise NotImplementedError("qv with a quantised KV cache")
+        if _scale_was_default:
+            softmax_scale = 1.0 / math.sqrt(d + qv.shape[-1])
+        qd = jnp.concatenate([q, qv.astype(q.dtype)], axis=-1)
+        kcd = jnp.concatenate([kc, vc.astype(kc.dtype)], axis=-1)
+
     out, lse = decode_attn_ref_layout(
-        q,
-        kc,
-        vc,
+        qd,
+        kcd,
+        vcd,
         new_len,
         softmax_scale=softmax_scale,
         causal=causal,
