@@ -118,6 +118,77 @@ class TensorBoardLogger:
             self._writer.close()
 
 
+class WandbLogger:
+    """Weights & Biases backend (reference `training/configs/logger/wandb.yaml`).
+
+    Import-gated: if `wandb` is not installed (this environment has no
+    network) the logger reports unavailable and `make_loggers` falls back
+    to a JSONL logger so the metrics are still captured.
+    """
+
+    def __init__(self, out_dir, project="flash-attn-tpu", name=None,
+                 config=None):
+        self._run = None
+        try:
+            import wandb  # type: ignore
+
+            self._run = wandb.init(
+                project=project, name=name, config=config or {},
+                dir=str(out_dir), reinit=True)
+        except Exception:
+            self._run = None
+
+    @property
+    def available(self):
+        return self._run is not None
+
+    def log(self, step: int, metrics: dict):
+        if self._run is None:
+            return
+        self._run.log(
+            {k: v for k, v in metrics.items()
+             if isinstance(v, (int, float))}, step=step)
+
+    def close(self):
+        if self._run is not None:
+            self._run.finish()
+
+
+class MLFlowLogger:
+    """MLflow backend (reference `training/configs/logger/mlflow.yaml`).
+
+    Import-gated like WandbLogger; uses a local `mlruns` file store when no
+    tracking server is configured.
+    """
+
+    def __init__(self, out_dir, experiment="flash-attn-tpu", run_name=None):
+        self._mlflow = None
+        try:
+            import mlflow  # type: ignore
+
+            mlflow.set_tracking_uri(f"file:{Path(out_dir) / 'mlruns'}")
+            mlflow.set_experiment(experiment)
+            self._active = mlflow.start_run(run_name=run_name)
+            self._mlflow = mlflow
+        except Exception:
+            self._mlflow = None
+
+    @property
+    def available(self):
+        return self._mlflow is not None
+
+    def log(self, step: int, metrics: dict):
+        if self._mlflow is None:
+            return
+        self._mlflow.log_metrics(
+            {k.replace("/", "_"): float(v) for k, v in metrics.items()
+             if isinstance(v, (int, float))}, step=step)
+
+    def close(self):
+        if self._mlflow is not None:
+            self._mlflow.end_run()
+
+
 class LoggerCollection:
     def __init__(self, loggers):
         self.loggers = loggers
@@ -144,6 +215,12 @@ def make_loggers(names, out_dir="runs") -> LoggerCollection:
             tb = TensorBoardLogger(out_dir)
             if tb.available:
                 out.append(tb)
+        elif name == "wandb":
+            wb = WandbLogger(out_dir)
+            out.append(wb if wb.available else JSONLLogger(out_dir))
+        elif name == "mlflow":
+            ml = MLFlowLogger(out_dir)
+            out.append(ml if ml.available else JSONLLogger(out_dir))
         else:
             raise ValueError(f"unknown logger {name!r}")
     return LoggerCollection(out)

@@ -232,3 +232,17 @@ def test_vision_loader_resume_exact():
         got = next(ld2)
         np.testing.assert_array_equal(got[0], exp[0])
         np.testing.assert_array_equal(got[1], exp[1])
+
+
+def test_external_logger_fallback(tmp_path):
+    """wandb/mlflow backends are import-gated; without the packages the
+    factory substitutes a JSONL logger so metrics are still captured
+    (reference `training/configs/logger/{wandb,mlflow}.yaml`)."""
+    from flash_attn_tpu.training.loggers import make_loggers
+
+    lc = make_loggers(["wandb", "mlflow"], out_dir=tmp_path)
+    lc.log(0, {"loss": 1.0})
+    lc.log(1, {"loss": 0.5})
+    lc.close()
+    recs = [l for l in (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    assert len(recs) >= 2
