@@ -139,6 +139,60 @@ def _is_fp8(x):
     return jnp.issubdtype(x.dtype, jnp.floating) and x.dtype.itemsize == 1
 
 
+def _attn_probs_dmask(q, k, lse, *, softmax_scale, causal, window_size,
+                      softcap, alibi_slopes, attention_chunk, dropout_p,
+                      dropout_seed):
+    """Debug-grade S_dmask reconstruction (reference FA2 `return_attn_probs`
+    S_dmask, `flash_attn_interface.py:474`): post-softmax probabilities with
+    the dropout encoding — kept entries hold P/(1-p), dropped entries hold
+    -P (so `S_dmask >= 0` recovers the keep mask, the reference
+    `convert_flash_attn_S_to_softmax` contract,
+    `tests/test_flash_attn.py:411`).
+
+    The kernel's dropout is a stateless position hash (`dropout_keep`), so
+    the exact keep mask is reproducible host-side from (seed, b, h, row,
+    col) — no kernel side-channel needed.  O(b*h*sq*sk) memory: debug only.
+    """
+    from flash_attn_tpu.kernels.flash_fwd import dropout_keep
+
+    b, sq, h, d = q.shape
+    sk, hk = k.shape[1], k.shape[2]
+    g = h // hk
+    kf = jnp.repeat(k, g, axis=2) if g > 1 else k
+    s = jnp.einsum("bihd,bjhd->bhij", q.astype(jnp.float32),
+                   kf.astype(jnp.float32)) * softmax_scale
+    if softcap > 0.0:
+        s = jnp.tanh(s / softcap) * softcap
+    rows = jnp.arange(sq, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(sk, dtype=jnp.int32)[None, :]
+    offset = sk - sq  # bottom-right aligned (kernel convention)
+    if alibi_slopes is not None:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32).reshape(-1, h)
+        slopes = jnp.broadcast_to(slopes, (b, h))
+        s = s - slopes[:, :, None, None] * jnp.abs(
+            rows + offset - cols).astype(jnp.float32)[None, None]
+    wl, wr = window_size
+    if causal:
+        wr = 0
+    mask = jnp.zeros((sq, sk), bool)
+    if causal or wr >= 0:
+        mask = mask | (cols > rows + offset + max(wr, 0))
+    if wl >= 0:
+        mask = mask | (cols < rows + offset - wl)
+    if attention_chunk and attention_chunk > 0:
+        mask = mask | (cols // attention_chunk
+                       != (rows + offset) // attention_chunk)
+    p_mat = jnp.where(mask[None, None], 0.0,
+                      jnp.exp(s - lse[:, :, :, None]))
+    seed = jnp.asarray(0 if dropout_seed is None else dropout_seed,
+                       jnp.int32)
+    bi = jnp.arange(b, dtype=jnp.int32)[:, None, None, None]
+    hi = jnp.arange(h, dtype=jnp.int32)[None, :, None, None]
+    keep = dropout_keep(seed, bi, hi, rows[None, None], cols[None, None],
+                        dropout_p)
+    return jnp.where(keep, p_mat / (1.0 - dropout_p), -p_mat)
+
+
 def flash_attn_func(
     q,
     k,
@@ -162,9 +216,10 @@ def flash_attn_func(
     """Multi-head attention, (b, s, h, d) layout (`flash_attn_func:1145`).
 
     Supports MQA/GQA (nheads divisible by nheads_k), causal, sliding window,
-    ALiBi, softcapping.  Returns out, or (out, softmax_lse, None) when
-    `return_attn_probs` (the reference's S_dmask is debug-only; we return
-    None for it).
+    ALiBi, softcapping.  Returns out, or (out, softmax_lse, S_dmask) when
+    `return_attn_probs`; S_dmask (dropout_p > 0 only, else None) is the
+    debug-grade probability matrix with the reference's dropout encoding —
+    kept entries P/(1-p), dropped entries -P (see `_attn_probs_dmask`).
 
     FP8: float8_e4m3fn q/k/v with (b, nheads_k) float32 `{q,k,v}_descale`
     run the dequantising forward kernel (FA3 FP8 semantics,
@@ -229,7 +284,14 @@ def flash_attn_func(
         )
     o = jnp.swapaxes(o, 1, 2)
     if return_attn_probs:
-        return o, lse, None
+        s_dmask = None
+        if dropout_p > 0.0 and lse is not None:
+            s_dmask = _attn_probs_dmask(
+                q, k, lse, softmax_scale=softmax_scale, causal=causal,
+                window_size=window_size, softcap=softcap,
+                alibi_slopes=alibi_slopes, attention_chunk=attention_chunk,
+                dropout_p=dropout_p, dropout_seed=dropout_seed)
+        return o, lse, s_dmask
     return o
 
 

@@ -611,3 +611,49 @@ def test_flash_attn_varlen_packed(causal):
     dq, dk, dv = jax.grad(lf, (0, 1, 2))(q_unpad, k_unpad, v_unpad)
     assert all(bool(jnp.all(jnp.isfinite(x.astype(jnp.float32))))
                for x in (dq, dk, dv))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attn_s_dmask(causal):
+    """`return_attn_probs` S_dmask (reference FA2 debug return,
+    `flash_attn_interface.py:474`): kept entries P/(1-p), dropped -P.
+    Validates (a) the encoding recovers the exact keep mask, (b) the
+    dropout fraction is statistically right (reference
+    `tests/test_flash_attn.py` dropout-fraction checks), and (c) the
+    kernel output equals S_dmask's non-negative part @ V."""
+    b, h, sq, sk, d = 2, 3, 192, 224, 64
+    p_drop, seed = 0.25, 77
+    q, k, v = make_qkv(b, sq, sk, h, h, d, jnp.bfloat16, seed=11)
+
+    out, lse, s_dmask = flash_attn_func(
+        q, k, v, dropout_p=p_drop, causal=causal, dropout_seed=seed,
+        return_attn_probs=True)
+    assert s_dmask is not None and s_dmask.shape == (b, h, sq, sk)
+
+    rows = jnp.arange(sq, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(sk, dtype=jnp.int32)[None, :]
+    valid = jnp.ones((sq, sk), bool)
+    if causal:
+        valid = (cols - (sk - sq)) <= rows
+    # (b) dropout fraction among in-mask entries with nonzero P
+    nz = jnp.abs(s_dmask) > 0
+    dropped = (s_dmask < 0) & valid[None, None]
+    frac = float(dropped.sum() / (nz | dropped)[..., valid].sum())
+    assert abs(frac - p_drop) < 0.03, frac
+
+    # (c) out == relu(S_dmask) @ v
+    p_d = jnp.maximum(s_dmask, 0.0)
+    out_ref = jnp.einsum("bhqk,bkhd->bqhd", p_d,
+                         v.astype(jnp.float32))
+    assert float(jnp.abs(out.astype(jnp.float32) - out_ref).max()) < 2e-2
+
+    # (a) keep mask from the encoding matches dropout_keep exactly
+    from flash_attn_tpu.kernels.flash_fwd import dropout_keep
+    keep_hash = dropout_keep(
+        jnp.int32(seed),
+        jnp.arange(b, dtype=jnp.int32)[:, None, None, None],
+        jnp.arange(h, dtype=jnp.int32)[None, :, None, None],
+        rows[None, None], cols[None, None], p_drop)
+    has_p = jnp.abs(s_dmask) > 1e-9
+    enc_keep = s_dmask > 0
+    assert bool(jnp.all(jnp.where(has_p, enc_keep == keep_hash, True)))
