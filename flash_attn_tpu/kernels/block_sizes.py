@@ -79,3 +79,28 @@ def bwd_block_sizes(
     bq = min(bq, max(128, round_up(seqlen_q, 128)))
     bk = min(bk, max(128, round_up(seqlen_k, 128)))
     return BwdBlockSizes(bq, bk, bq, bk)
+
+
+@dataclasses.dataclass(frozen=True)
+class VarlenBlockSizes:
+    block_q: int
+    block_k: int
+    block_h: int
+
+
+def varlen_block_sizes(total_q: int, total_k: int, nheads: int,
+                       head_dim: int) -> VarlenBlockSizes:
+    """Tiles for the scheduled packed-varlen kernel (`varlen_sched.py`).
+
+    The scheduled grid walks host-built (q block, kv block) tile tables, so
+    unlike the dense kernel its KV tile is both the DMA and the compute
+    granularity.  Placeholder defaults pending the on-device sweep
+    (VERDICT r2 item 7); block_h deepens the per-tick head pipeline the
+    same way the dense kernel's does.
+    """
+    bq = min(512, max(128, round_up(total_q, 128)))
+    bk = min(512, max(128, round_up(total_k, 128)))
+    bh = max(1, min(4, nheads))
+    while nheads % bh:
+        bh -= 1
+    return VarlenBlockSizes(bq, bk, bh)

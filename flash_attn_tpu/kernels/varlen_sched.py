@@ -412,13 +412,15 @@ def _sched_t_max(nq, nk, causal, bq, bk, same_stream, nseq):
 
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(5, 6, 7, 8, 9, 10, 12, 13),
+    nondiff_argnums=(5, 6, 7, 8, 9, 10, 12, 13, 15),
 )
 def _sched_core(q, k, v, cu_q, cu_k, max_sq, max_sk, scale, causal, window,
-                softcap, slopes, dropout_p, same_stream, dropout_seed):
+                softcap, slopes, dropout_p, same_stream, dropout_seed,
+                blocks):
     o, _ = _sched_fwd_impl(q, k, v, cu_q, cu_k, max_sq, max_sk, scale,
                            causal, window, softcap, slopes, dropout_p,
-                           same_stream, dropout_seed)
+                           same_stream, dropout_seed,
+                           bq=blocks[0], bk=blocks[1], bh=blocks[2])
     return o
 
 
@@ -459,15 +461,16 @@ def _sched_fwd_impl(q, k, v, cu_q, cu_k, max_sq, max_sk, scale, causal,
 
 def _sched_core_fwd(q, k, v, cu_q, cu_k, max_sq, max_sk, scale, causal,
                     window, softcap, slopes, dropout_p, same_stream,
-                    dropout_seed):
+                    dropout_seed, blocks):
     o, lse = _sched_fwd_impl(q, k, v, cu_q, cu_k, max_sq, max_sk, scale,
                              causal, window, softcap, slopes, dropout_p,
-                             same_stream, dropout_seed)
+                             same_stream, dropout_seed,
+                             bq=blocks[0], bk=blocks[1], bh=blocks[2])
     return o, (q, k, v, cu_q, cu_k, o, lse, slopes, dropout_seed)
 
 
 def _sched_core_bwd(max_sq, max_sk, scale, causal, window, softcap,
-                    dropout_p, same_stream, res, do):
+                    dropout_p, same_stream, blocks, res, do):
     """Backward via the padded deterministic kernels: gather the packed
     streams (and the packed-forward's o/lse) into (b, max_s) layout, run
     `flash_attn_bwd_bhsd` with per-sequence seqused, scatter grads back."""
@@ -530,7 +533,7 @@ def flash_attn_varlen_sched_func(
     q, k, v, cu_seqlens_q, cu_seqlens_k, max_seqlen_q=None,
     max_seqlen_k=None, *, softmax_scale=None, causal=False,
     window_size=(-1, -1), softcap=0.0, alibi_slopes=None, dropout_p=0.0,
-    dropout_seed=None,
+    dropout_seed=None, block_q=None, block_k=None, block_h=None,
 ):
     """First-class packed varlen attention (scheduled grid).
 
@@ -551,10 +554,15 @@ def flash_attn_varlen_sched_func(
               else jnp.asarray(alibi_slopes, jnp.float32).reshape(h))
     if max_seqlen_q is None or max_seqlen_k is None:
         raise ValueError("max_seqlen_q/max_seqlen_k are required")
+    from flash_attn_tpu.kernels.block_sizes import varlen_block_sizes
+
+    vb = varlen_block_sizes(q.shape[0], k.shape[0], h, d)
+    blocks = (int(block_q or vb.block_q), int(block_k or vb.block_k),
+              int(block_h or vb.block_h))
     return _sched_core(
         q, k, v, jnp.asarray(cu_seqlens_q, jnp.int32),
         jnp.asarray(cu_seqlens_k, jnp.int32), int(max_seqlen_q),
         int(max_seqlen_k), float(softmax_scale), bool(causal),
         (int(window_size[0]), int(window_size[1])), float(softcap),
-        slopes, float(dropout_p), bool(same_stream), dropout_seed,
+        slopes, float(dropout_p), bool(same_stream), dropout_seed, blocks,
     )
