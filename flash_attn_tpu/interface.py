@@ -27,6 +27,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from flash_attn_tpu.kernels.flash_bwd import flash_attn_bwd_bhsd
 from flash_attn_tpu.kernels.flash_fwd import flash_attn_fwd_bhsd
@@ -695,12 +696,23 @@ def get_scheduler_metadata(
     if num_splits <= 0:
         # TPU split heuristic: one split per ~4k cached tokens once the
         # (batch x kv-head) grid alone cannot fill the core pipeline
-        # (role of num_splits_heuristic, csrc/flash_attn/flash_api.cpp:263)
+        # (role of num_splits_heuristic, csrc/flash_attn/flash_api.cpp:263).
+        # When concrete per-batch lengths are available (host-side planning,
+        # the flash_prepare_scheduler.cu:50 role), plan from the actual
+        # longest sequence rather than the cache extent — the Pallas grid's
+        # clamped index maps make the shorter batches' extra ticks nearly
+        # free, so only the longest sequence needs splitting.
+        eff_k = max_seqlen_k
+        if cache_seqlens is not None:
+            try:
+                eff_k = int(np.max(np.asarray(cache_seqlens)))
+            except Exception:
+                pass  # traced under jit: fall back to the static bound
         parallelism = batch_size * num_heads_kv
-        if parallelism >= 8 or max_seqlen_k <= 4096:
+        if parallelism >= 8 or eff_k <= 4096:
             num_splits = 1
         else:
-            num_splits = min(8, max(1, max_seqlen_k // 4096))
+            num_splits = min(8, max(1, eff_k // 4096))
     return dict(
         num_splits=int(num_splits),
         pack_gqa=bool(pack_gqa),
