@@ -15,18 +15,19 @@ from flash_attn_tpu.kernels.flash_fwd import flash_attn_fwd_bhsd
 from flash_attn_tpu.utils.benchmark import attention_flops, benchmark_chained
 
 
-def run(b=1, h=16, s=8192, d=128, configs=None):
+def run(b=1, h=16, s=8192, d=128, configs=None, causal=True):
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
     k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
     v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
     su = jnp.full((b,), s, jnp.int32)
-    flops = attention_flops(b, s, s, h, d, True, "fwd")
+    flops = attention_flops(b, s, s, h, d, causal, "fwd")
+    tag = "" if causal else " dense"
 
     for (bq, bk, bks, bh) in configs:
         def step(qc, k, v, bq=bq, bk=bk, bks=bks, bh=bh):
             o, _ = flash_attn_fwd_bhsd(
-                qc, k, v, su, su, softmax_scale=d ** -0.5, causal=True,
+                qc, k, v, su, su, softmax_scale=d ** -0.5, causal=causal,
                 block_q=bq, block_k=bk, block_k_sub=bks, block_h=bh,
                 full_lengths=True,
             )
@@ -34,7 +35,7 @@ def run(b=1, h=16, s=8192, d=128, configs=None):
 
         try:
             dt = benchmark_chained(step, q, k, v, iters=16, reps=3)
-            print(f"bq{bq} bk{bk} bks{bks} bh{bh}: "
+            print(f"bq{bq} bk{bk} bks{bks} bh{bh}{tag}: "
                   f"{flops / dt / 1e12:.1f} TF/s ({dt*1e3:.2f} ms)",
                   flush=True)
         except Exception as e:
@@ -53,6 +54,16 @@ if __name__ == "__main__":
         (1024, 512, 512, 4),
         (512, 1024, 1024, 8),
     ]
-    if len(sys.argv) > 1:
-        cfgs = [tuple(int(x) for x in a.split(",")) for a in sys.argv[1:]]
-    run(configs=cfgs)
+    import os
+
+    args = sys.argv[1:]
+    causal = True
+    if "--uncond" in args:
+        os.environ["FLASH_ATTN_TPU_SCHED_UNCOND"] = "1"
+        args.remove("--uncond")
+    if "--dense" in args:
+        causal = False
+        args.remove("--dense")
+    if args:
+        cfgs = [tuple(int(x) for x in a.split(",")) for a in args]
+    run(configs=cfgs, causal=causal)

@@ -29,6 +29,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -130,6 +131,10 @@ class FwdParams:
     pipelined: bool = False
     seqlen_q: int = 0  # static true query length (pipelined masking)
     seqlen_k: int = 0  # static true key length (pipelined tail masking)
+    # Scheduled grid: drop the per-tick combo dispatch and run ONE
+    # unpredicated body that always applies the elementwise mask (interior
+    # ticks select nothing out).  A/B knob for the combo-coded dispatch.
+    sched_uncond: bool = False
 
     @property
     def local(self) -> bool:
@@ -671,10 +676,19 @@ def _fwd_sched_kernel(p: FwdParams, combos, qi_ref, ki_ref, fl_ref, *refs):
                 prev = (j, hh, s, mask)
         smpv_stage(*prev)
 
-    for idx, codes in enumerate(combos):
-        @pl.when(jnp.logical_and(jnp.logical_not(empty), ctype == idx))
-        def _combo_body(codes=codes):
-            run_combo(codes)
+    if p.sched_uncond:
+        # Single unpredicated body: every tick pays the elementwise mask
+        # (built from r0/ki, so interior ticks select nothing out).  Trades
+        # diagonal-only mask VPU work for zero pl.when combo dispatch —
+        # Mosaic schedules one straight-line body.
+        @pl.when(jnp.logical_not(empty))
+        def _uncond_body():
+            run_combo(tuple([2] * nsub))
+    else:
+        for idx, codes in enumerate(combos):
+            @pl.when(jnp.logical_and(jnp.logical_not(empty), ctype == idx))
+            def _combo_body(codes=codes):
+                run_combo(codes)
 
     @pl.when(last)
     def _finalize():
@@ -845,6 +859,7 @@ def flash_attn_fwd_bhsd(
         pipelined=pipelined,
         seqlen_q=sq,
         seqlen_k=sk,
+        sched_uncond=os.environ.get("FLASH_ATTN_TPU_SCHED_UNCOND") == "1",
     )
 
     if not (p.softcap > 0.0 or p.has_alibi) and not fp8:
