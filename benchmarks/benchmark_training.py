@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--remat", action="store_true",
                     help="per-block activation checkpointing")
+    ap.add_argument("--remat-policy", type=str, default="none",
+                    choices=["none", "dots", "dots_no_batch"],
+                    help="what remat may keep: dots = save matmul outputs, "
+                         "recompute only elementwise/attention")
     args = ap.parse_args()
 
     import optax
@@ -66,7 +70,8 @@ def main():
     cfg.mlp_fc2_bias = False
     cfg.residual_in_fp32 = True
     cfg.tie_word_embeddings = bool(args.large)
-    cfg.remat_blocks = args.remat
+    cfg.remat_blocks = args.remat or args.remat_policy != "none"
+    cfg.remat_policy = args.remat_policy
 
     model = GPTLMHeadModel(cfg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)

@@ -138,8 +138,19 @@ def create_block(config, layer_idx: int, dtype):
     if _cfg(config, "remat_blocks", False):
         # per-layer activation checkpointing (rematerialise each block in
         # the backward; the Lightning `gradient_checkpointing` role) —
-        # training-only flag, never set on decode paths
-        block_cls = nn.remat(block_cls)
+        # training-only flag, never set on decode paths.  `remat_policy`
+        # picks what the backward may keep: "none" recomputes the whole
+        # block (max memory saving), "dots" keeps matmul outputs and
+        # recomputes only elementwise/norm/attention (cheap recompute:
+        # the MXU work is saved, so counted MFU barely drops while the
+        # activation footprint still shrinks enough for larger batches).
+        policy = {
+            "none": None,
+            "dots": jax.checkpoint_policies.dots_saveable,
+            "dots_no_batch":
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        }[_cfg(config, "remat_policy", "none")]
+        block_cls = nn.remat(block_cls, policy=policy)
     if _cfg(config, "parallel_block", False):
         return functools.partial(
             block_cls,

@@ -33,6 +33,12 @@ class ModelConfig:
     tie_word_embeddings: bool = True
     parallel_block: bool = False
     dtype: str = "bfloat16"
+    # Per-block activation checkpointing (Lightning gradient_checkpointing
+    # role).  remat_policy: "none" recomputes the whole block; "dots"
+    # keeps matmul outputs (cheap recompute, still frees the elementwise/
+    # attention footprint).
+    remat_blocks: bool = False
+    remat_policy: str = "none"
     # image-task (ViT) fields
     patch_size: int = 16
     image_size: int = 224
@@ -57,6 +63,8 @@ class ModelConfig:
         cfg.parallel_block = self.parallel_block
         if self.n_head_kv:
             cfg.n_head_kv = self.n_head_kv
+        cfg.remat_blocks = self.remat_blocks
+        cfg.remat_policy = self.remat_policy
         return cfg
 
 

@@ -76,3 +76,42 @@ def test_gpt2_decode_matches_full(hf_model_and_config):
     for i, t in enumerate(range(31, 47)):
         err = float(jnp.abs(logits_steps[i] - full[:, t]).max())
         assert err < 1e-4, (i, err)
+
+
+@pytest.mark.parametrize("policy", ["none", "dots"])
+def test_remat_policy_grad_parity(policy):
+    """remat_blocks + remat_policy must not change loss or gradients
+    (reference analogue: Lightning gradient_checkpointing changes memory,
+    never numbers)."""
+    from transformers import GPT2Config
+
+    from flash_attn_tpu.training.loss import chunked_lm_loss
+
+    def make(remat):
+        cfg = GPT2Config(
+            n_embd=64, n_head=4, n_layer=2, vocab_size=128, n_positions=64,
+            resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+        )
+        cfg.rms_norm = True
+        cfg.rotary_emb_fraction = 1.0
+        cfg.activation_function = "swiglu"
+        if remat:
+            cfg.remat_blocks = True
+            cfg.remat_policy = policy
+        return GPTLMHeadModel(cfg, dtype=jnp.bfloat16)
+
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(0, 128, (2, 33)), jnp.int32)
+    base = make(False)
+    params = jax.jit(base.init)(jax.random.PRNGKey(0), ids[:, :32])
+
+    def loss_of(model):
+        return jax.value_and_grad(
+            lambda p: chunked_lm_loss(model, p, ids, chunk_tokens=64))(params)
+
+    l0, g0 = loss_of(base)
+    l1, g1 = loss_of(make(True))
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
