@@ -88,7 +88,8 @@ def _make_core(scale, causal, window, softcap, has_alibi, block_q, block_k,
         # probability and the standard dq/dk/dv recompute is unchanged.
         dq, dk, dv = flash_attn_bwd_bhsd(
             do, q, k, v, o, lse, seqused_q, seqused_k, alibi_slopes=slopes,
-            dlse=dlse, dropout_seed=dropout_seed, **kw
+            dlse=dlse, dropout_seed=dropout_seed,
+            full_lengths=full_lengths, **kw
         )
         dsinks = None
         if has_sinks:

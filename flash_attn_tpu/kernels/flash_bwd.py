@@ -29,6 +29,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -332,6 +333,95 @@ def _bwd_dkv_kernel(p: BwdParams, sq_ref, sk_ref, *refs):
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
+def _fused_tile_body(p: BwdParams, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                     delta_ref, slopes_ref, seed_ref, dq_all, dk_acc, dv_acc,
+                     b, hk_i, ki, qi, gi, dq_off, sq_b, sk_b, *,
+                     masked: bool):
+    """One (q block, kv block) tile of the fused backward: 5 matmuls
+    (S = QK^T, dV += P^T dO, dP = dO V^T, dK += dS^T Q, dQ += dS K) plus
+    the recomputed softmax.  `masked=False` skips the elementwise mask —
+    interior tiles of a causal/local schedule run a select/iota-free body
+    (the reference's masked/unmasked mainloop split,
+    `flash_bwd_kernel.h` n_masking_steps analogue)."""
+    bq, bk = p.block_q, p.block_k
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    lse_row = lse_ref[0, 0][:, :1]
+    delta_row = delta_ref[0, 0][:, :1]
+
+    need_pos = masked or p.has_alibi or p.dropout_p > 0.0 \
+        or p.attention_chunk > 0
+    if need_pos:
+        rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        cols = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    offset = sk_b - sq_b
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s_cap = None
+    if not p.folded:
+        s = s * p.scale
+        if p.softcap > 0.0:
+            s_cap = jnp.tanh(s / p.softcap) * p.softcap
+            s = s_cap
+        if p.has_alibi:
+            slope = slopes_ref[b, hk_i * p.g + gi]
+            s = s - slope * jnp.abs(rows + offset - cols).astype(
+                jnp.float32)
+
+    if masked:
+        mask = cols >= sk_b
+        if p.has_upper:
+            mask = jnp.logical_or(mask, cols > rows + offset + p.wr)
+        if p.has_lower:
+            mask = jnp.logical_or(mask, cols < rows + offset - p.window_left)
+        if p.attention_chunk > 0:
+            cc = p.attention_chunk
+            mask = jnp.logical_or(mask, cols // cc != (rows + offset) // cc)
+        s = jnp.where(mask, MASK_VALUE, s)
+
+    pmat = jnp.exp2(s - lse_row) if p.folded else (
+        jnp.exp2((s - lse_row) * LOG2E))
+    pd = pmat
+    if p.dropout_p > 0.0:
+        keep = _bwd_keep(p, seed_ref, b, hk_i * p.g + gi,
+                         rows, cols)
+        rp = 1.0 / (1.0 - p.dropout_p)
+        pd = jnp.where(keep, pmat, 0.0) * rp
+    # dV += Pd^T dO
+    dv_acc[...] += jax.lax.dot_general(
+        pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if p.dropout_p > 0.0:
+        dp = jnp.where(keep, dp, 0.0) * rp
+    ds = pmat * (dp - delta_row)
+    if p.softcap > 0.0:
+        ds = ds * (1.0 - (s_cap / p.softcap) ** 2)
+    if not p.folded:
+        ds = ds * p.scale
+    ds_lp = ds.astype(q.dtype)
+    # dK += dS^T Q (folded: q holds q*scale*log2e — the 1/log2e
+    # compensation is applied at flush)
+    dk_acc[...] += jax.lax.dot_general(
+        ds_lp, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # dQ[qi, gi] += dS K  (shared-recompute half of the dq kernel;
+    # folded: scale rides on the small K tile)
+    k_dq = k * jnp.asarray(p.scale, k.dtype) if p.folded else k
+    dq_all[pl.dslice(dq_off, bq), :] += jax.lax.dot_general(
+        ds_lp, k_dq, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _bwd_fused_kernel(p: BwdParams, nq: int, sq_ref, sk_ref, *refs):
     """Single-pass backward: dK/dV stationary per kv block (as
     `_bwd_dkv_kernel`) plus a whole-head dQ accumulator in VMEM scratch,
@@ -381,77 +471,10 @@ def _bwd_fused_kernel(p: BwdParams, nq: int, sq_ref, sk_ref, *refs):
 
     @pl.when(should_compute)
     def _compute():
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        do = do_ref[0, 0]
-        lse_row = lse_ref[0, 0][:, :1]
-        delta_row = delta_ref[0, 0][:, :1]
-
-        rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-        cols = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        offset = sk_b - sq_b
-
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s_cap = None
-        if not p.folded:
-            s = s * p.scale
-            if p.softcap > 0.0:
-                s_cap = jnp.tanh(s / p.softcap) * p.softcap
-                s = s_cap
-            if p.has_alibi:
-                slope = slopes_ref[b, hk_i * p.g + gi]
-                s = s - slope * jnp.abs(rows + offset - cols).astype(
-                    jnp.float32)
-
-        mask = cols >= sk_b
-        if p.has_upper:
-            mask = jnp.logical_or(mask, cols > rows + offset + p.wr)
-        if p.has_lower:
-            mask = jnp.logical_or(mask, cols < rows + offset - p.window_left)
-        if p.attention_chunk > 0:
-            cc = p.attention_chunk
-            mask = jnp.logical_or(mask, cols // cc != (rows + offset) // cc)
-        s = jnp.where(mask, MASK_VALUE, s)
-
-        pmat = jnp.exp2(s - lse_row) if p.folded else (
-            jnp.exp2((s - lse_row) * LOG2E))
-        pd = pmat
-        if p.dropout_p > 0.0:
-            keep = _bwd_keep(p, seed_ref, b, hk_i * p.g + gi,
-                             rows, cols)
-            rp = 1.0 / (1.0 - p.dropout_p)
-            pd = jnp.where(keep, pmat, 0.0) * rp
-        # dV += Pd^T dO
-        dv_acc[...] += jax.lax.dot_general(
-            pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        if p.dropout_p > 0.0:
-            dp = jnp.where(keep, dp, 0.0) * rp
-        ds = pmat * (dp - delta_row)
-        if p.softcap > 0.0:
-            ds = ds * (1.0 - (s_cap / p.softcap) ** 2)
-        if not p.folded:
-            ds = ds * p.scale
-        ds_lp = ds.astype(q.dtype)
-        # dK += dS^T Q (folded: q holds q*scale*log2e — the 1/log2e
-        # compensation is applied at flush)
-        dk_acc[...] += jax.lax.dot_general(
-            ds_lp, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        # dQ[qi, gi] += dS K  (shared-recompute half of the dq kernel;
-        # folded: scale rides on the small K tile)
-        k_dq = k * jnp.asarray(p.scale, k.dtype) if p.folded else k
-        dq_all[pl.dslice(dq_off, bq), :] += jax.lax.dot_general(
-            ds_lp, k_dq, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        _fused_tile_body(
+            p, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+            slopes_ref, seed_ref, dq_all, dk_acc, dv_acc,
+            b, hk_i, ki, qi, gi, dq_off, sq_b, sk_b, masked=True,
         )
 
     # Always write the current dq slab for (gi, qi): the write at the last
@@ -545,6 +568,210 @@ def _bwd_fused(p, q, k, v, do, lse_r, delta_r, slopes, seed,
     return dq[:, :, :sq, :], dk[:, :, :sk, :], dv[:, :, :sk, :]
 
 
+# Scheduled fused-backward flags (see _build_bwd_schedule)
+_BWDS_INIT = 1      # very first entry: zero the whole-head dQ accumulator
+_BWDS_FIRST = 2     # first entry of this kv block: zero dK/dV accumulators
+_BWDS_LAST = 4      # last entry of this kv block: flush dK/dV
+_BWDS_BOUNDARY = 8  # tile needs the elementwise mask
+_BWDS_COMPUTE = 16  # run the compute body (filler entries omit it)
+
+
+def _build_bwd_schedule(p: BwdParams, sq: int, sk: int, nq: int, nk: int):
+    """Flatten the KV-stationary (kv block, q block x group) space into
+    exactly the pairs the mask needs — the backward twin of the forward's
+    `_build_schedule` (reference: `SingleTileBwdLPTScheduler` +
+    n_masking_steps split, `hopper/tile_scheduler.hpp:368`,
+    `flash_bwd_kernel.h`).  Static full lengths only.
+
+    The rectangular fused grid predicates ~half its ticks away under a
+    causal mask (each skipped tick still costs a pipeline slot); here the
+    host enumerates only contributing (ki, qi) pairs.  dQ correctness:
+    entries are ordered ki-ascending, so the LAST scheduled visit of any q
+    block carries the completed accumulator slab and its dq write wins.
+
+    Returns (ki_tab, t_tab, fl_tab) int32 arrays; t = qi * g + gi.
+    """
+    import numpy as np
+
+    off = sk - sq
+    bq, bk, g = p.block_q, p.block_k, p.g
+    ki_tab, t_tab, fl_tab = [], [], []
+    visited = set()
+    for ki in range(nk):
+        c0, c1 = ki * bk, ki * bk + bk - 1
+        min_qi, max_qi = 0, nq - 1
+        if c0 < sk:
+            if p.has_upper:
+                min_qi = max(0, (c0 - off - max(p.wr, 0)) // bq)
+            max_qi = (sq + bq - 1) // bq - 1
+            if p.has_lower:
+                max_qi = min(max_qi, (c1 - off + p.window_left) // bq)
+        if c0 >= sk or min_qi > max_qi:
+            # no contributing q blocks: still emit one entry so the dk/dv
+            # tiles are written (zeros)
+            ki_tab.append(ki)
+            t_tab.append(0)
+            fl_tab.append(_BWDS_FIRST | _BWDS_LAST)
+            continue
+        for qi in range(min_qi, max_qi + 1):
+            r0, r1 = qi * bq, qi * bq + bq - 1
+            interior = c1 < sk and r1 < sq and p.attention_chunk == 0
+            if p.has_upper:
+                interior = interior and c1 <= r0 + off + p.wr
+            if p.has_lower:
+                interior = interior and c0 >= r1 + off - p.window_left
+            visited.add(qi)
+            for gi in range(g):
+                fl = _BWDS_COMPUTE | (0 if interior else _BWDS_BOUNDARY)
+                if qi == min_qi and gi == 0:
+                    fl |= _BWDS_FIRST
+                if qi == max_qi and gi == g - 1:
+                    fl |= _BWDS_LAST
+                ki_tab.append(ki)
+                t_tab.append(qi * g + gi)
+                fl_tab.append(fl)
+    # q blocks no kv block touches (e.g. causal with sk < sq): filler
+    # entries that just write their (zeroed) dq slab
+    for qi in range(nq):
+        if qi not in visited:
+            for gi in range(g):
+                ki_tab.append(0)
+                t_tab.append(qi * g + gi)
+                fl_tab.append(0)
+    fl_tab[0] |= _BWDS_INIT
+    return (np.asarray(ki_tab, np.int32), np.asarray(t_tab, np.int32),
+            np.asarray(fl_tab, np.int32))
+
+
+def _bwd_fused_sched_kernel(p: BwdParams, nq: int, sq: int, sk: int,
+                            ki_ref, t_ref, fl_ref, *refs):
+    """Scheduled-grid fused backward: grid (b, hk, T) walking host-built
+    (kv block, q block x group) tables — zero wasted ticks under
+    causal/local masks, and interior ticks run the mask-free body."""
+    refs = list(refs)
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = refs[:6]
+    refs = refs[6:]
+    slopes_ref = refs.pop(0) if p.has_alibi else None
+    seed_ref = refs.pop(0) if p.dropout_p > 0.0 else None
+    dq_ref, dk_ref, dv_ref, dq_all, dk_acc, dv_acc = refs
+
+    b = pl.program_id(0)
+    hk_i = pl.program_id(1)
+    i = pl.program_id(2)
+    bq = p.block_q
+    ki = ki_ref[i]
+    t = t_ref[i]
+    fl = fl_ref[i]
+    qi = t // p.g
+    gi = t % p.g
+    dq_off = (gi * nq + qi) * bq
+
+    @pl.when((fl & _BWDS_INIT) != 0)
+    def _init_dq():
+        dq_all[...] = jnp.zeros_like(dq_all)
+
+    @pl.when((fl & _BWDS_FIRST) != 0)
+    def _init_dkv():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    compute = (fl & _BWDS_COMPUTE) != 0
+    boundary = (fl & _BWDS_BOUNDARY) != 0
+
+    def body(masked):
+        _fused_tile_body(
+            p, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+            slopes_ref, seed_ref, dq_all, dk_acc, dv_acc,
+            b, hk_i, ki, qi, gi, dq_off, sq, sk, masked=masked,
+        )
+
+    @pl.when(jnp.logical_and(compute, jnp.logical_not(boundary)))
+    def _interior():
+        body(False)
+
+    @pl.when(jnp.logical_and(compute, boundary))
+    def _boundary():
+        body(True)
+
+    # every tick writes its (gi, qi) slab; the last visit's write is the
+    # completed value and wins (earlier ones are dead stores)
+    dq_ref[0, 0] = dq_all[pl.dslice(dq_off, bq), :].astype(dq_ref.dtype)
+
+    @pl.when((fl & _BWDS_LAST) != 0)
+    def _finalize():
+        dk = dk_acc[...]
+        if p.folded:
+            dk = dk * (1.0 / LOG2E)
+        dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _bwd_fused_sched(p, q, k, v, do, lse_r, delta_r, slopes, seed,
+                     sq, sk, sq_p, sk_p, dv_dim):
+    """Launch the scheduled fused backward (static full lengths)."""
+    b, h, _, d = q.shape
+    hk = k.shape[1]
+    g = p.g
+    bq, bk = p.block_q, p.block_k
+    nq = sq_p // bq
+    nk = sk_p // bk
+    ki_tab, t_tab, fl_tab = _build_bwd_schedule(p, sq, sk, nq, nk)
+    T = len(ki_tab)
+
+    def qhead_map(b_, hk_, i, ki_r, t_r, fl_r):
+        t = t_r[i]
+        return (b_, hk_ * g + t % g, t // g, 0)
+
+    def kv_map(b_, hk_, i, ki_r, t_r, fl_r):
+        return (b_, hk_, ki_r[i], 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, d), qhead_map),
+        pl.BlockSpec((1, 1, bk, d), kv_map),
+        pl.BlockSpec((1, 1, bk, dv_dim), kv_map),
+        pl.BlockSpec((1, 1, bq, dv_dim), qhead_map),
+        pl.BlockSpec((1, 1, bq, STAT_LANES), qhead_map),
+        pl.BlockSpec((1, 1, bq, STAT_LANES), qhead_map),
+    ]
+    inputs = [q, k, v, do, lse_r, delta_r]
+    if slopes is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(slopes)
+    if p.dropout_p > 0.0:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(seed)
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_fused_sched_kernel, p, nq, sq, sk),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b, hk, T),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, 1, bq, d), qhead_map),
+                pl.BlockSpec((1, 1, bk, d), kv_map),
+                pl.BlockSpec((1, 1, bk, dv_dim), kv_map),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((g * nq * bq, d), jnp.float32),
+                pltpu.VMEM((bk, d), jnp.float32),
+                pltpu.VMEM((bk, dv_dim), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b, hk, sk_p, d), k.dtype),
+            jax.ShapeDtypeStruct((b, hk, sk_p, dv_dim), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=use_interpret(),
+    )(ki_tab, t_tab, fl_tab, *inputs)
+    return dq[:, :, :sq, :], dk[:, :, :sk, :], dv[:, :, :sk, :]
+
+
 def flash_attn_bwd_bhsd(
     do,
     q,
@@ -567,6 +794,7 @@ def flash_attn_bwd_bhsd(
     block_k: int | None = None,
     dlse=None,
     dropout_packed_offsets=None,
+    full_lengths: bool = False,
 ):
     """Backward flash attention on (b, h, s, d)-layout operands.
 
@@ -661,10 +889,21 @@ def flash_attn_bwd_bhsd(
     seqused_q = jnp.asarray(seqused_q, jnp.int32)
     seqused_k = jnp.asarray(seqused_k, jnp.int32)
 
+    # ---- Scheduled fused kernel: causal/local masks with static full
+    # lengths walk host-built tile tables (no wasted predicated ticks,
+    # interior ticks mask-free) — see _build_bwd_schedule. ----
+    fits_scratch = g * sq_p * d * 4 <= _FUSED_DQ_SCRATCH_LIMIT
+    if (full_lengths and (p.has_upper or p.has_lower) and fits_scratch
+            and os.environ.get("FLASH_ATTN_TPU_NO_SCHED_BWD") != "1"):
+        return _bwd_fused_sched(
+            p, q, k, v, do, lse_r, delta_r, slopes, seed,
+            sq, sk, sq_p, sk_p, dv_dim,
+        )
+
     # ---- Fused single-pass kernel (default): dKV stationary + whole-head
     # dQ accumulator in scratch; falls back to the two-kernel split when the
     # dQ scratch would not fit VMEM. ----
-    if g * sq_p * d * 4 <= _FUSED_DQ_SCRATCH_LIMIT:
+    if fits_scratch:
         return _bwd_fused(
             p, q, k, v, do, lse_r, delta_r, slopes, seed,
             seqused_q, seqused_k, sq, sk, sq_p, sk_p, dv_dim,
