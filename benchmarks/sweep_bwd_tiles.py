@@ -22,12 +22,18 @@ def main():
     ap.add_argument("--heads", type=int, default=16)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--split", action="store_true", help="two-kernel path")
+    ap.add_argument("--no-sched", action="store_true",
+                    help="disable the scheduled fused bwd (A/B)")
     ap.add_argument("--bq", type=int, nargs="*", default=[512, 1024])
     ap.add_argument("--bk", type=int, nargs="*", default=[1024, 2048])
     args = ap.parse_args()
 
     if args.split:
         fb._FUSED_DQ_SCRATCH_LIMIT = 0
+    if args.no_sched:
+        import os
+
+        os.environ["FLASH_ATTN_TPU_NO_SCHED_BWD"] = "1"
 
     b, h, s, d = 1, args.heads, args.seq, args.hdim
     rng = np.random.default_rng(0)
@@ -52,11 +58,12 @@ def main():
                 # grad through a custom fwd+bwd pair
                 o, lse = flash_attn_fwd_bhsd(
                     q, k, v, su, su, softmax_scale=d ** -0.5,
-                    causal=args.causal)
+                    causal=args.causal, full_lengths=True)
                 do = jnp.ones_like(o)
                 dq, dk, dv = fb.flash_attn_bwd_bhsd(
                     do, q, k, v, o, lse, su, su, softmax_scale=d ** -0.5,
-                    causal=args.causal, block_q=bq, block_k=bk)
+                    causal=args.causal, block_q=bq, block_k=bk,
+                    full_lengths=True)
                 return (dq.astype(q.dtype) * 1e-3 + q,
                         dk.astype(k.dtype) * 1e-3 + k,
                         dv.astype(v.dtype) * 1e-3 + v)
