@@ -572,6 +572,120 @@ def _build_schedule(p: FwdParams, nq: int, nk: int):
             np.asarray(flags, np.int32), combo_list)
 
 
+def _build_split_schedules(p_int: FwdParams, p_dia: FwdParams, nq: int):
+    """Partition the causal/local tile space into an *interior* schedule
+    (tiles fully unmasked at the interior call's big block_k — run with the
+    mask-free body at dense-tuned tiles) and a *diagonal* schedule (every
+    remaining needed tile at a small block_k, masked where the boundary
+    bites).  The TPU split-call form of the reference's masked/unmasked
+    mainloop specialisation (`flash_fwd_kernel.h:52` n_masking_steps,
+    `hopper/tile_size.h:10`): instead of one kernel switching loop flavours
+    mid-flight, two pallas_calls each run ONE straight-line flavour and the
+    partials merge by the split-KV combine identity.
+
+    Both calls must share block_q (the covered-column range is constant per
+    q block) and bk_int % bk_dia == 0 (alignment — no tile straddles the
+    partition).  Returns (sched_int, sched_dia), each in _build_schedule's
+    (qi_tab, ki_tab, flags, combos) form.
+    """
+    import numpy as np
+
+    assert p_int.block_q == p_dia.block_q
+    assert p_int.block_k % p_dia.block_k == 0
+    sq, sk = p_int.seqlen_q, p_int.seqlen_k
+    off = sk - sq
+    bq = p_int.block_q
+    bki, bkd = p_int.block_k, p_dia.block_k
+    bksd = p_dia.block_k_sub or bkd
+    nsub_d = bkd // bksd
+    nsub_i = bki // (p_int.block_k_sub or bki)
+
+    def new_sched():
+        return {"qi": [], "ki": [], "fl": [], "combos": {}}
+
+    def combo_index(s, codes):
+        if codes not in s["combos"]:
+            s["combos"][codes] = len(s["combos"])
+        return s["combos"][codes]
+
+    si, sd = new_sched(), new_sched()
+    combo_index(si, tuple([1] * nsub_i))  # interior: all-interior body
+    combo_index(sd, tuple([1] * nsub_d))
+
+    def emit(s, qi, entries):
+        # entries: list of (ki, codes); [] -> EMPTY placeholder
+        if not entries:
+            s["qi"].append(qi)
+            s["ki"].append(0)
+            s["fl"].append(_SCHED_FIRST | _SCHED_LAST | _SCHED_EMPTY)
+            return
+        for n, (ki, codes) in enumerate(entries):
+            fl = combo_index(s, codes) << _SCHED_TYPE_SHIFT
+            if n == 0:
+                fl |= _SCHED_FIRST
+            if n == len(entries) - 1:
+                fl |= _SCHED_LAST
+            s["qi"].append(qi)
+            s["ki"].append(ki)
+            s["fl"].append(fl)
+
+    p = p_int  # mask geometry (shared)
+    for qi in range(nq):
+        r0q = qi * bq
+        r1q = r0q + bq - 1
+        max_col = sk - 1
+        if p.has_upper:
+            max_col = min(max_col, r1q + off + max(p.wr, 0))
+        min_col = 0
+        if p.has_lower:
+            min_col = max(0, r0q + off - p.window_left)
+        if r0q >= sq or max_col < min_col:
+            emit(si, qi, [])
+            emit(sd, qi, [])
+            continue
+
+        # interior tiles at bki: fully valid for EVERY row of the q block
+        lo_full = r1q + off - p.window_left if p.has_lower else 0
+        hi_full = r0q + off + p.wr if p.has_upper else sk - 1
+        hi_full = min(hi_full, sk - 1)
+        kiA = max(0, -(-max(lo_full, 0) // bki))  # ceil
+        kiB = (hi_full + 1) // bki - 1
+        int_entries = [(ki, tuple([1] * nsub_i)) for ki in range(kiA, kiB + 1)]
+        emit(si, qi, int_entries)
+        covA = kiA * bki if int_entries else 0
+        covB = (kiB + 1) * bki if int_entries else 0
+
+        # diagonal tiles at bkd: every needed tile outside [covA, covB)
+        dia_entries = []
+        for kd in range(min_col // bkd, max_col // bkd + 1):
+            c0t, c1t = kd * bkd, (kd + 1) * bkd - 1
+            if int_entries and c0t >= covA and c1t < covB:
+                continue
+            codes = []
+            for j in range(nsub_d):
+                c0 = c0t + j * bksd
+                c1 = c0 + bksd - 1
+                if not (c0 <= max_col and c1 >= min_col):
+                    codes.append(0)
+                    continue
+                interior = c1 < sk and r1q < sq
+                if p.has_upper:
+                    interior = interior and c1 <= r0q + off + p.wr
+                if p.has_lower:
+                    interior = interior and c0 >= r1q + off - p.window_left
+                codes.append(1 if interior else 2)
+            if any(codes):
+                dia_entries.append((kd, tuple(codes)))
+        emit(sd, qi, dia_entries)
+
+    def fin(s):
+        return (np.asarray(s["qi"], np.int32), np.asarray(s["ki"], np.int32),
+                np.asarray(s["fl"], np.int32),
+                tuple(sorted(s["combos"], key=s["combos"].get)))
+
+    return fin(si), fin(sd)
+
+
 def _fwd_sched_kernel(p: FwdParams, combos, qi_ref, ki_ref, fl_ref, *refs):
     """Scheduled-grid forward: grid (b, h/block_h, T) walking the
     host-built tile tables.  Static-length fast path only (full_lengths):
@@ -752,6 +866,7 @@ def flash_attn_fwd_bhsd(
     block_k_sub: int | None = None,
     block_h: int | None = None,
     full_lengths: bool = False,
+    split_diag: tuple | None = None,
 ):
     """Forward flash attention on (b, h, s, d)-layout operands.
 
@@ -868,11 +983,15 @@ def flash_attn_fwd_bhsd(
         # as the input's own low-precision error.
         q = (q.astype(jnp.float32) * (p.scale * LOG2E)).astype(q.dtype)
 
-    if pipelined and boundary_heavy:
-        # Scheduled grid: zero wasted ticks for causal/local masks (see
-        # _build_schedule).
-        qi_tab, ki_tab, fl_tab, combos = _build_schedule(p, nq, nk)
+    def _run_sched(p_c: FwdParams, schedule, q_c, k_c, v_c, part_dtype):
+        """One scheduled-grid pallas_call (tables from _build_schedule or
+        _build_split_schedules).  Operands must already be padded to the
+        call's own block multiples."""
+        qi_tab, ki_tab, fl_tab, combos = schedule
         T = len(qi_tab)
+        bq_c, bk_c, bh_c = p_c.block_q, p_c.block_k, p_c.block_h
+        hbk_c = p_c.hbk
+        sqp_c = q_c.shape[2]
 
         def q_map_s(b_, hb_, t, qi_r, ki_r, fl_r):
             return (b_, hb_, qi_r[t], 0)
@@ -880,38 +999,38 @@ def flash_attn_fwd_bhsd(
         def kv_map_s(b_, hb_, t, qi_r, ki_r, fl_r):
             if g == 1:
                 return (b_, hb_, ki_r[t], 0)
-            return (b_, (hb_ * bh) // g, ki_r[t], 0)
+            return (b_, (hb_ * bh_c) // g, ki_r[t], 0)
 
         in_specs_s = [
-            pl.BlockSpec((1, bh, bq, d), q_map_s),
-            pl.BlockSpec((1, hbk, bk, d), kv_map_s),
-            pl.BlockSpec((1, hbk, bk, dv), kv_map_s),
+            pl.BlockSpec((1, bh_c, bq_c, d), q_map_s),
+            pl.BlockSpec((1, hbk_c, bk_c, d), kv_map_s),
+            pl.BlockSpec((1, hbk_c, bk_c, dv), kv_map_s),
         ]
-        inputs_s = [q, k, v]
-        if sinks is not None:
+        inputs_s = [q_c, k_c, v_c]
+        if p_c.has_sinks:
             in_specs_s.append(pl.BlockSpec(memory_space=pltpu.SMEM))
             inputs_s.append(jnp.asarray(sinks, jnp.float32).reshape(h))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(b, h // bh, T),
+            grid=(b, h // bh_c, T),
             in_specs=in_specs_s,
             out_specs=[
-                pl.BlockSpec((1, bh, bq, dv), q_map_s),
-                pl.BlockSpec((1, bh, bq, LANES), q_map_s),
+                pl.BlockSpec((1, bh_c, bq_c, dv), q_map_s),
+                pl.BlockSpec((1, bh_c, bq_c, LANES), q_map_s),
             ],
             scratch_shapes=[
-                pltpu.VMEM((bh, bq, dv), jnp.float32),
-                pltpu.VMEM((bh, bq, LANES), jnp.float32),
-                pltpu.VMEM((bh, bq, LANES), jnp.float32),
+                pltpu.VMEM((bh_c, bq_c, dv), jnp.float32),
+                pltpu.VMEM((bh_c, bq_c, LANES), jnp.float32),
+                pltpu.VMEM((bh_c, bq_c, LANES), jnp.float32),
             ],
         )
         flops = 4 * b * h * sq * sk * d // (2 if causal else 1)
-        o, lse = pl.pallas_call(
-            functools.partial(_fwd_sched_kernel, p, combos),
+        return pl.pallas_call(
+            functools.partial(_fwd_sched_kernel, p_c, combos),
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((b, h, sq_p, dv), out_dtype),
-                jax.ShapeDtypeStruct((b, h, sq_p, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((b, h, sqp_c, dv), part_dtype),
+                jax.ShapeDtypeStruct((b, h, sqp_c, LANES), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -919,12 +1038,47 @@ def flash_attn_fwd_bhsd(
             ),
             cost_estimate=pl.CostEstimate(
                 flops=flops,
-                bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+                bytes_accessed=(q_c.size + k_c.size + v_c.size
+                                ) * q_c.dtype.itemsize,
                 transcendentals=b * h * sq * sk,
             ),
             interpret=use_interpret(),
         )(jnp.asarray(qi_tab), jnp.asarray(ki_tab), jnp.asarray(fl_tab),
           *inputs_s)
+
+    if pipelined and boundary_heavy and split_diag is not None:
+        # Interior/diagonal split (see _build_split_schedules): the
+        # interior call runs the mask-free body at dense-tuned tiles, the
+        # diagonal call sweeps the boundary band at a small block_k so
+        # masked waste shrinks from ~bk/2 to ~bk_dia/2 columns per row;
+        # partials merge by the split-KV combine identity.
+        bk_dia, bh_dia = split_diag
+        bh_dia = min(bh_dia, h if g == 1 else g)
+        while (h if g == 1 else g) % bh_dia:
+            bh_dia -= 1
+        # sinks only in the interior call: the virtual logit must join the
+        # softmax denominator exactly once across the merged partials
+        p_dia = dataclasses.replace(
+            p, block_k=bk_dia, block_k_sub=bk_dia, block_h=bh_dia,
+            hbk=bh_dia if g == 1 else 1, has_sinks=False)
+        sched_int, sched_dia = _build_split_schedules(p, p_dia, nq)
+        o_i, lse_i = _run_sched(p, sched_int, q, k, v, jnp.float32)
+        o_d, lse_d = _run_sched(p_dia, sched_dia, q, k, v, jnp.float32)
+        from flash_attn_tpu.kernels.combine import merge_attn_state
+
+        o, lse = merge_attn_state(
+            o_i, lse_i[..., 0], o_d, lse_d[..., 0])
+        o = o.astype(out_dtype)
+        lse = lse[:, :, :sq]
+        if sq_p != sq:
+            o = o[:, :, :sq, :]
+        return o, lse
+
+    if pipelined and boundary_heavy:
+        # Scheduled grid: zero wasted ticks for causal/local masks (see
+        # _build_schedule).
+        o, lse = _run_sched(p, _build_schedule(p, nq, nk), q, k, v,
+                            out_dtype)
         lse = lse[:, :, :sq, 0]
         if sq_p != sq:
             o = o[:, :, :sq, :]

@@ -657,3 +657,32 @@ def test_flash_attn_s_dmask(causal):
     has_p = jnp.abs(s_dmask) > 1e-9
     enc_keep = s_dmask > 0
     assert bool(jnp.all(jnp.where(has_p, enc_keep == keep_hash, True)))
+
+
+@pytest.mark.parametrize("causal,window", [
+    (True, (-1, -1)), (True, (128, -1)), (False, (192, 0))])
+@pytest.mark.parametrize("with_sinks", [False, True])
+def test_flash_attn_causal_split(causal, window, with_sinks):
+    """Interior/diagonal split-call path (`_build_split_schedules` +
+    split-KV combine merge) vs the single scheduled call and the oracle.
+    The reference analogue is the masked/unmasked mainloop specialisation
+    (`csrc/flash_attn/src/flash_fwd_kernel.h:52` n_masking_steps)."""
+    from flash_attn_tpu.kernels.flash_fwd import flash_attn_fwd_bhsd
+
+    b, h, hk, s, d = 2, 8, 2, 640, 64
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, hk, s, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, hk, s, d)), jnp.bfloat16)
+    su = jnp.full((b,), s, jnp.int32)
+    sinks = (jnp.asarray(rng.standard_normal((h,)), jnp.float32)
+             if with_sinks else None)
+    kw = dict(softmax_scale=d ** -0.5, causal=causal, window_size=window,
+              full_lengths=True, sinks=sinks,
+              block_q=256, block_k=512, block_h=2)
+    o0, l0 = flash_attn_fwd_bhsd(q, k, v, su, su, **kw)
+    o1, l1 = flash_attn_fwd_bhsd(q, k, v, su, su, split_diag=(128, 4), **kw)
+    assert float(jnp.max(jnp.abs(
+        o0.astype(jnp.float32) - o1.astype(jnp.float32)))) < 2e-2
+    lmask = jnp.where(jnp.isinf(l0) & jnp.isinf(l1), 0.0, jnp.abs(l0 - l1))
+    assert float(jnp.max(lmask)) < 1e-3
