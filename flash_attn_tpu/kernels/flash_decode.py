@@ -223,7 +223,7 @@ def decode_attn_bhsd(
     cache_batch_idx=None,
     cache_leftpad=None,
     num_splits: int = 1,
-    block_k: int = 1024,
+    block_k: int | None = None,
     attention_chunk: int = 0,
 ):
     """Split-KV decode attention on native layouts.
@@ -235,15 +235,23 @@ def decode_attn_bhsd(
     """
     b, h, sq, d = q.shape
     paged = block_table is not None
+    # per-transfer BYTES set the DMA bandwidth regime (see
+    # decode_attn_ref_layout): quantised caches stream 2x the rows
+    widen = max(1, 2 // k_cache.dtype.itemsize)
+    if block_k is None:
+        block_k = 1024 * widen
     if paged:
         hk, npages, page, _ = k_cache.shape
         block_k = page
         smax_blocks = block_table.shape[1]
         nk_max = smax_blocks
         # bundle small pages so each grid step streams >= 512 KV rows
-        bundle = max(1, 512 // block_k) if block_k < 512 else 1
+        # (bf16-equivalent bytes)
+        target = 512 * widen
+        bundle = max(1, target // block_k) if block_k < target else 1
     else:
         bc, hk, smax, _ = k_cache.shape
+        block_k = min(block_k, round_up(smax, 8))
         smax_p = round_up(smax, block_k)
         if smax_p != smax:
             k_cache = jnp.pad(k_cache, ((0, 0), (0, 0), (0, smax_p - smax), (0, 0)))
@@ -570,7 +578,7 @@ def decode_attn_ref_layout(
     cache_batch_idx=None,
     cache_leftpad=None,
     num_splits: int = 1,
-    block_k: int = 1024,
+    block_k: int | None = None,
     attention_chunk: int = 0,
     k_descale=None,
     v_descale=None,
@@ -584,6 +592,14 @@ def decode_attn_ref_layout(
     """
     b, sq, h, d = q.shape
     paged = block_table is not None
+    # Transfer-size equalisation: the v5e DMA engine's effective bandwidth
+    # is set by per-transfer BYTES (~330 GB/s at 131 KB, ~1.1 TB/s at
+    # >= 512 KB — DESIGN.md decode notes), so quantised caches must stream
+    # proportionally MORE rows per grid step or the byte savings of
+    # int8/fp8 are cancelled by a lower-bandwidth transfer regime.
+    widen = max(1, 2 // k_cache.dtype.itemsize)  # int8/fp8: 2x rows
+    if block_k is None:
+        block_k = 1024 * widen
     # The manual DMA pipeline currently measures slightly *slower* than the
     # automatic Pallas pipeline on v5e (412 vs 461 GB/s at page 256); kept
     # behind a flag for further tuning.
@@ -601,6 +617,7 @@ def decode_attn_ref_layout(
         import os as _os2
 
         target = int(_os2.environ.get("FLASH_ATTN_TPU_BUNDLE_ROWS", "1024"))
+        target *= widen
         bundle = 1 if use_pipe else max(1, target // block_k)
     else:
         bc, smax, hk, _ = k_cache.shape
