@@ -185,3 +185,49 @@ if __name__ == "__main__":
             except Exception as e:
                 print(f"{'int8' if int8 else 'bf16'} {st}: FAIL "
                       f"{type(e).__name__} {str(e)[:140]}", flush=True)
+    # transfer-size hypothesis: per-transfer BYTES set the DMA regime, so
+    # int8 at bk=2048 should recover the bandwidth bf16 gets at bk=1024
+    print("--- int8 transfer-size sweep (dma + full) ---", flush=True)
+    for bk in (1024, 2048, 4096):
+        for st in ("dma", "full"):
+            try:
+                run_stage(st, True, bk=bk)
+            except Exception as e:
+                print(f"int8 bk{bk} {st}: FAIL {type(e).__name__} "
+                      f"{str(e)[:140]}", flush=True)
+    # end-to-end: the real decode kernel via flash_attn_with_kvcache
+    print("--- end-to-end decode (real kernel) ---", flush=True)
+    import numpy as np
+
+    from flash_attn_tpu.kernels.flash_decode import flash_attn_with_kvcache
+    from flash_attn_tpu.utils.benchmark import benchmark_chained
+
+    b, sq, h, hk, d, smax = 8, 1, 32, 8, 128, 8192
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.bfloat16)
+    lens = jnp.full((b,), smax - 1, jnp.int32)
+    kcf = rng.standard_normal((b, smax, hk, d)).astype(np.float32)
+    vcf = rng.standard_normal((b, smax, hk, d)).astype(np.float32)
+    for name, dt8 in (("bf16", False), ("int8", True)):
+        if dt8:
+            ds = 0.03
+            kd = jnp.full((b, hk), ds, jnp.float32)
+            kc = jnp.clip(jnp.round(jnp.asarray(kcf) / ds), -127, 127
+                          ).astype(jnp.int8)
+            vc = jnp.clip(jnp.round(jnp.asarray(vcf) / ds), -127, 127
+                          ).astype(jnp.int8)
+            kw = dict(k_descale=kd, v_descale=kd)
+        else:
+            kc, vc = jnp.asarray(kcf, jnp.bfloat16), jnp.asarray(
+                vcf, jnp.bfloat16)
+            kw = {}
+
+        def step(q, kc, vc, kw=kw):
+            o = flash_attn_with_kvcache(
+                q, kc, vc, cache_seqlens=lens, causal=True, **kw)
+            return q + o.astype(q.dtype) * 1e-3
+
+        t = benchmark_chained(step, q, kc, vc, iters=64, reps=3)
+        kvb = 2 * b * smax * hk * d * (1 if dt8 else 2)
+        print(f"e2e {name}: {t*1e6:8.1f} us  {kvb/t/1e9:7.1f} GB/s "
+              f"{b*sq/t:,.0f} tok/s", flush=True)
