@@ -46,11 +46,17 @@ __all__ = [
 @functools.lru_cache(maxsize=None)
 def _make_core(scale, causal, window, softcap, has_alibi, block_q, block_k,
                dropout_p, attention_chunk=0, has_sinks=False,
-               full_lengths=False):
+               full_lengths=False, need_lse=True):
     """Build a custom_vjp-wrapped core for one static config.
 
     The cache plays the role of the reference's per-config kernel dispatch
     (`BOOL_SWITCH` specialization tree, `flash_fwd_launch_template.h:71-99`).
+
+    `need_lse=False` builds the inference-fast variant: the *primal* (the
+    function JAX runs when no gradient flows) skips the LSE HBM write
+    entirely (`emit_lse=False` — it is 2x the output's bytes at hdim128);
+    under differentiation JAX runs `core_fwd` instead, which always emits
+    LSE for the backward's residuals, so grads are unaffected.
     """
     kw = dict(
         softmax_scale=scale,
@@ -66,21 +72,23 @@ def _make_core(scale, causal, window, softcap, has_alibi, block_q, block_k,
 
     @jax.custom_vjp
     def core(q, k, v, slopes, sinks, seqused_q, seqused_k, dropout_seed):
-        return flash_attn_fwd_bhsd(
+        o, lse = flash_attn_fwd_bhsd(
             q, k, v, seqused_q, seqused_k, alibi_slopes=slopes, sinks=sinks,
-            dropout_seed=dropout_seed, **fwd_kw
+            dropout_seed=dropout_seed, emit_lse=need_lse, **fwd_kw
         )
+        return (o, lse) if need_lse else o
 
     def core_fwd(q, k, v, slopes, sinks, seqused_q, seqused_k, dropout_seed):
         o, lse = flash_attn_fwd_bhsd(
             q, k, v, seqused_q, seqused_k, alibi_slopes=slopes, sinks=sinks,
             dropout_seed=dropout_seed, **fwd_kw
         )
-        return (o, lse), (q, k, v, o, lse, slopes, sinks, seqused_q,
-                          seqused_k, dropout_seed)
+        out = (o, lse) if need_lse else o
+        return out, (q, k, v, o, lse, slopes, sinks, seqused_q,
+                     seqused_k, dropout_seed)
 
     def core_bwd(res, cts):
-        do, dlse = cts
+        do, dlse = cts if need_lse else (cts, None)
         (q, k, v, o, lse, slopes, sinks, seqused_q, seqused_k,
          dropout_seed) = res
         # With an attention sink the saved LSE already includes the sink
@@ -126,10 +134,11 @@ def _attn_bhsd(
         (int(window_size[0]), int(window_size[1])), float(softcap),
         alibi_slopes is not None, block_q, block_k, float(dropout_p),
         int(attention_chunk), sinks is not None, bool(full_lengths),
+        need_lse=bool(return_lse),
     )
     seed = jnp.asarray(0 if dropout_seed is None else dropout_seed, jnp.int32)
-    o, lse = core(q, k, v, alibi_slopes, sinks, seqused_q, seqused_k, seed)
-    return o, (lse if return_lse else None)
+    out = core(q, k, v, alibi_slopes, sinks, seqused_q, seqused_k, seed)
+    return out if return_lse else (out, None)
 
 
 def _check_dropout(dropout_p):
@@ -270,9 +279,8 @@ def flash_attn_func(
             alibi_slopes=alibi_slopes,
             attention_chunk=attention_chunk,
             q_descale=q_descale, k_descale=k_descale, v_descale=v_descale,
-            sinks=sinks,
+            sinks=sinks, emit_lse=bool(return_attn_probs),
         )
-        lse = lse if return_attn_probs else None
     else:
         o, lse = _attn_bhsd(
             qt, kt, vt, softmax_scale=softmax_scale, causal=causal,

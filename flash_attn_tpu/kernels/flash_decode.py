@@ -814,6 +814,10 @@ def decode_attn_ref_layout(
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+                # quantised caches stream 2x-row slabs (byte-based DMA
+                # sizing) and the fp8 path casts them to bf16 in-body: the
+                # scoped intermediates exceed the 16M default
+                vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=use_interpret(),
         )(*scalar_args, *inputs)

@@ -49,6 +49,11 @@ _ABLATE = _os.environ.get("FLASH_ATTN_TPU_ABLATE", "")
 
 LOG2E = math.log2(math.e)
 MASK_VALUE = -1e30
+# Additive mask bias for the scheduled grid: far below the MASK_VALUE floor
+# of the running max, so exp2(bias - m) is exactly 0 in f32 and the
+# probability pass needs no select.  Finite (not -inf) so s + bias never
+# produces nan for masked columns.
+_SCHED_BIAS = -3e38
 LANES = 128
 
 # int32 views of the 32-bit hash constants (lowbias32 mixer)
@@ -135,6 +140,11 @@ class FwdParams:
     # unpredicated body that always applies the elementwise mask (interior
     # ticks select nothing out).  A/B knob for the combo-coded dispatch.
     sched_uncond: bool = False
+    # Emit the LSE output.  The LSE tile is lane-replicated (.., 128) f32 —
+    # at hdim128 it is 2x the HBM bytes of the output itself — so the
+    # inference-only forward (custom_vjp primal, no grad) skips the write
+    # entirely; the grad path (core_fwd) always emits it for the residuals.
+    emit_lse: bool = True
 
     @property
     def local(self) -> bool:
@@ -192,7 +202,11 @@ def _fwd_kernel(p: FwdParams, sq_ref, sk_ref, *refs):
         qd_ref = kd_ref = vd_ref = None
     sinks_ref = refs.pop(0) if p.has_sinks else None
     seed_ref = refs.pop(0) if p.dropout_p > 0.0 else None
-    o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
+    if p.emit_lse:
+        o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
+    else:
+        o_ref, acc_ref, m_ref, l_ref = refs
+        lse_ref = None
 
     b = pl.program_id(0)
     hb = pl.program_id(1)
@@ -697,7 +711,11 @@ def _fwd_sched_kernel(p: FwdParams, combos, qi_ref, ki_ref, fl_ref, *refs):
     q_ref, k_ref, v_ref = refs[:3]
     refs = refs[3:]
     sinks_ref = refs.pop(0) if p.has_sinks else None
-    o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
+    if p.emit_lse:
+        o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
+    else:
+        o_ref, acc_ref, m_ref, l_ref = refs
+        lse_ref = None
 
     b = pl.program_id(0)
     hb = pl.program_id(1)
@@ -720,14 +738,18 @@ def _fwd_sched_kernel(p: FwdParams, combos, qi_ref, ki_ref, fl_ref, *refs):
 
     @pl.when(first)
     def _init():
-        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        # m floor is MASK_VALUE (not -inf): masked scores carry the far
+        # lower _SCHED_BIAS, so exp2(bias - m) underflows to exactly 0 and
+        # the probability pass needs NO select (see smpv_stage).
+        m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    def build_mask(j):
-        # Head-invariant: built once per subtile and shared by every head
-        # of the block (the mask VPU work on a diagonal tick would
-        # otherwise scale with block_h).
+    def build_bias(j):
+        # Head-invariant additive mask bias, built once per subtile and
+        # shared by every head of the block: one VPU add per head replaces
+        # the two selects (score + probability) of the select-mask form —
+        # the diagonal ticks' mask cost no longer scales 2x with block_h.
         cols_t = ki * bk + j * bks + jax.lax.broadcasted_iota(
             jnp.int32, (bq, bks), 1)
         mask = cols_t >= p.seqlen_k
@@ -737,33 +759,32 @@ def _fwd_sched_kernel(p: FwdParams, combos, qi_ref, ki_ref, fl_ref, *refs):
         if p.has_lower:
             mask = jnp.logical_or(
                 mask, cols_t < rows_t + off_s - p.window_left)
-        return mask
+        return jnp.where(mask, _SCHED_BIAS, 0.0).astype(jnp.float32)
 
-    def qk_stage(j, hh, mask):
+    def qk_stage(j, hh, bias):
         hkv_local = 0 if p.hbk == 1 else hh
         kk = k_ref[0, hkv_local, j * bks:(j + 1) * bks, :]
         s = jax.lax.dot_general(
             q_tile(hh), kk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        if mask is not None:
-            s = jnp.where(mask, MASK_VALUE, s)
-        return s, mask
+        if bias is not None:
+            s = s + bias
+        return (s,)
 
     def q_tile(hh):
         return q_ref[0, hh]
 
-    def smpv_stage(j, hh, s, mask):
+    def smpv_stage(j, hh, s):
         hkv_local = 0 if p.hbk == 1 else hh
         v = v_ref[0, hkv_local, j * bks:(j + 1) * bks, :]
         m_prev = m_ref[hh, :, :1]
         l_prev = l_ref[hh, :, :1]
         m_curr = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp2(m_prev - m_curr)
+        # masked entries hold s ~ _SCHED_BIAS << m_curr (m is floored at
+        # MASK_VALUE by _init), so exp2 underflows to 0 — no select needed
         pmat = jnp.exp2(s - m_curr)
-        if mask is not None:
-            # rows fully masked in this tile would get pmat == 1
-            pmat = jnp.where(mask, 0.0, pmat)
         l_curr = l_prev * alpha + jnp.sum(pmat, axis=1, keepdims=True)
         m_ref[hh] = jnp.broadcast_to(m_curr, m_ref.shape[1:])
         l_ref[hh] = jnp.broadcast_to(l_curr, l_ref.shape[1:])
@@ -782,12 +803,12 @@ def _fwd_sched_kernel(p: FwdParams, combos, qi_ref, ki_ref, fl_ref, *refs):
         for j, code in enumerate(codes):
             if code == 0:
                 continue
-            mask_j = build_mask(j) if code == 2 else None
+            bias_j = build_bias(j) if code == 2 else None
             for hh in range(HB):
-                s, mask = qk_stage(j, hh, mask_j)
+                (s,) = qk_stage(j, hh, bias_j)
                 if prev is not None:
                     smpv_stage(*prev)
-                prev = (j, hh, s, mask)
+                prev = (j, hh, s)
         smpv_stage(*prev)
 
     if p.sched_uncond:
@@ -834,12 +855,13 @@ def _fwd_finalize(p: FwdParams, sinks_ref, vd_ref, o_ref, lse_ref, acc_ref,
         if p.fp8:
             acc = acc * vd_ref[b, (hq0 + hh) // p.g]
         o_ref[0, hh] = (acc / l_safe).astype(o_ref.dtype)
-        # m is in scale*log2(e) units on the fast path (Q pre-scaled);
-        # rescale for the natural-log LSE.  Reference writes +inf LSE
-        # for fully-masked rows (`softmax.h:170` normalize_softmax_lse).
-        m_nat = m_final if generic else m_final / LOG2E
-        lse = jnp.where(empty, jnp.inf, m_nat + jnp.log(l_safe))
-        lse_ref[0, hh] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+        if lse_ref is not None:
+            # m is in scale*log2(e) units on the fast path (Q pre-scaled);
+            # rescale for the natural-log LSE.  Reference writes +inf LSE
+            # for fully-masked rows (`softmax.h:170` normalize_softmax_lse).
+            m_nat = m_final if generic else m_final / LOG2E
+            lse = jnp.where(empty, jnp.inf, m_nat + jnp.log(l_safe))
+            lse_ref[0, hh] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
 def flash_attn_fwd_bhsd(
@@ -867,6 +889,7 @@ def flash_attn_fwd_bhsd(
     block_h: int | None = None,
     full_lengths: bool = False,
     split_diag: tuple | None = None,
+    emit_lse: bool = True,
 ):
     """Forward flash attention on (b, h, s, d)-layout operands.
 
@@ -917,9 +940,17 @@ def flash_attn_fwd_bhsd(
         # (32-84 TF/s vs 128.6 whole-tile), so the default keeps
         # bks == bk and eats the ~bq/2-col diagonal waste.
         if boundary_heavy:
-            bq, cap = 512, 1024
+            # v5e seq8k sweep (round 3, additive-bias mask): 137.2 TF/s
+            # no-LSE / 133.8 with LSE at 1024/1024/bh4 (512/1024/bh4:
+            # 133.2/130.3).  Interior ticks run at the dense rate; the
+            # residual gap to dense is the diagonal tiles' triangular MXU
+            # waste (~bq/s of total work).
+            bq, cap = 1024, 1024
         else:
-            bq, cap = 256, 4096 if d <= 128 else 2048
+            # v5e hdim128/seq8k sweep (round 3, LSE-write elided): 175.0
+            # TF/s at 256/2048/bh16 no-LSE, 168.0 with LSE (old
+            # 256/4096/bh8: 166.9/163.9).
+            bq, cap = 256, 2048
         bk = min(cap, max(128, round_up(sk, 128)))
         bks = bk
     sq_p = round_up(max(sq, bq), bq)
@@ -930,8 +961,9 @@ def flash_attn_fwd_bhsd(
     if block_h is not None:
         bh = block_h
     elif pipelined:
-        # keep several independent MXU/VPU chains in flight
-        bh = 4 if boundary_heavy else 8
+        # keep several independent MXU/VPU chains in flight (d > 128 halves
+        # the head block to keep double-buffered K/V tiles inside VMEM)
+        bh = 4 if boundary_heavy else (16 if d <= 128 else 8)
     elif work >= 2048 * 4096:
         bh = 1
     elif work >= 1024 * 2048:
@@ -975,6 +1007,7 @@ def flash_attn_fwd_bhsd(
         seqlen_q=sq,
         seqlen_k=sk,
         sched_uncond=os.environ.get("FLASH_ATTN_TPU_SCHED_UNCOND") == "1",
+        emit_lse=bool(emit_lse),
     )
 
     if not (p.softcap > 0.0 or p.has_alibi) and not fp8:
@@ -1010,14 +1043,17 @@ def flash_attn_fwd_bhsd(
         if p_c.has_sinks:
             in_specs_s.append(pl.BlockSpec(memory_space=pltpu.SMEM))
             inputs_s.append(jnp.asarray(sinks, jnp.float32).reshape(h))
+        out_specs_s = [pl.BlockSpec((1, bh_c, bq_c, dv), q_map_s)]
+        out_shape_s = [jax.ShapeDtypeStruct((b, h, sqp_c, dv), part_dtype)]
+        if p_c.emit_lse:
+            out_specs_s.append(pl.BlockSpec((1, bh_c, bq_c, LANES), q_map_s))
+            out_shape_s.append(
+                jax.ShapeDtypeStruct((b, h, sqp_c, LANES), jnp.float32))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(b, h // bh_c, T),
             in_specs=in_specs_s,
-            out_specs=[
-                pl.BlockSpec((1, bh_c, bq_c, dv), q_map_s),
-                pl.BlockSpec((1, bh_c, bq_c, LANES), q_map_s),
-            ],
+            out_specs=out_specs_s,
             scratch_shapes=[
                 pltpu.VMEM((bh_c, bq_c, dv), jnp.float32),
                 pltpu.VMEM((bh_c, bq_c, LANES), jnp.float32),
@@ -1025,13 +1061,10 @@ def flash_attn_fwd_bhsd(
             ],
         )
         flops = 4 * b * h * sq * sk * d // (2 if causal else 1)
-        return pl.pallas_call(
+        res = pl.pallas_call(
             functools.partial(_fwd_sched_kernel, p_c, combos),
             grid_spec=grid_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct((b, h, sqp_c, dv), part_dtype),
-                jax.ShapeDtypeStruct((b, h, sqp_c, LANES), jnp.float32),
-            ],
+            out_shape=out_shape_s,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
                 vmem_limit_bytes=100 * 1024 * 1024,
@@ -1045,6 +1078,7 @@ def flash_attn_fwd_bhsd(
             interpret=use_interpret(),
         )(jnp.asarray(qi_tab), jnp.asarray(ki_tab), jnp.asarray(fl_tab),
           *inputs_s)
+        return res if p_c.emit_lse else (res[0], None)
 
     if pipelined and boundary_heavy and split_diag is not None:
         # Interior/diagonal split (see _build_split_schedules): the
@@ -1058,11 +1092,13 @@ def flash_attn_fwd_bhsd(
             bh_dia -= 1
         # sinks only in the interior call: the virtual logit must join the
         # softmax denominator exactly once across the merged partials
+        # (partials always emit LSE — the merge identity needs it)
+        p_int = dataclasses.replace(p, emit_lse=True)
         p_dia = dataclasses.replace(
             p, block_k=bk_dia, block_k_sub=bk_dia, block_h=bh_dia,
-            hbk=bh_dia if g == 1 else 1, has_sinks=False)
+            hbk=bh_dia if g == 1 else 1, has_sinks=False, emit_lse=True)
         sched_int, sched_dia = _build_split_schedules(p, p_dia, nq)
-        o_i, lse_i = _run_sched(p, sched_int, q, k, v, jnp.float32)
+        o_i, lse_i = _run_sched(p_int, sched_int, q, k, v, jnp.float32)
         o_d, lse_d = _run_sched(p_dia, sched_dia, q, k, v, jnp.float32)
         from flash_attn_tpu.kernels.combine import merge_attn_state
 
@@ -1079,7 +1115,8 @@ def flash_attn_fwd_bhsd(
         # _build_schedule).
         o, lse = _run_sched(p, _build_schedule(p, nq, nk), q, k, v,
                             out_dtype)
-        lse = lse[:, :, :sq, 0]
+        if lse is not None:
+            lse = lse[:, :, :sq, 0]
         if sq_p != sq:
             o = o[:, :, :sq, :]
         return o, lse
@@ -1135,16 +1172,19 @@ def flash_attn_fwd_bhsd(
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(seed)
 
+    out_specs = [pl.BlockSpec((1, bh, bq, dv), out_map)]
+    out_shape = [jax.ShapeDtypeStruct((b, h, sq_p, dv), out_dtype)]
+    if p.emit_lse:
+        # LSE is lane-replicated to a (…, 128) trailing dim: TPU block
+        # shapes need the last dim tiled; the wrapper strips it.
+        out_specs.append(pl.BlockSpec((1, bh, bq, LANES), lse_map))
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, h, sq_p, LANES), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, h // bh, nq, nk),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, bh, bq, dv), out_map),
-            # LSE is lane-replicated to a (…, 128) trailing dim: TPU block
-            # shapes need the last dim tiled; the wrapper strips it.
-            pl.BlockSpec((1, bh, bq, LANES), lse_map),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((bh, bq, dv), jnp.float32),
             pltpu.VMEM((bh, bq, LANES), jnp.float32),
@@ -1156,13 +1196,10 @@ def flash_attn_fwd_bhsd(
     flops = 4 * b * h * sq * sk * d
     if causal:
         flops //= 2
-    o, lse = pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, sq_p, dv), out_dtype),
-            jax.ShapeDtypeStruct((b, h, sq_p, LANES), jnp.float32),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -1178,7 +1215,8 @@ def flash_attn_fwd_bhsd(
         jnp.asarray(seqused_k, jnp.int32),
         *inputs,
     )
-    lse = lse[:, :, :sq, 0]
+    o = res[0]
+    lse = res[1][:, :, :sq, 0] if p.emit_lse else None
     if sq_p != sq:
         o = o[:, :, :sq, :]
     return o, lse
