@@ -50,6 +50,10 @@ from flash_attn_tpu.kernels.block_sizes import cdiv, round_up
 
 LOG2E = math.log2(math.e)
 MASK_VALUE = -1e30
+# Additive mask bias for the head-blocked kernel: far below the MASK_VALUE
+# floor of the running max, so exp2((bias - m) * c) is exactly 0 in f32 and
+# the probability pass needs no select.
+_FX_BIAS = -3e38
 LANES = 128
 STAT_LANES = 8
 
@@ -542,10 +546,19 @@ def _flex_fwd_hb_kernel(
     empty = (fl & _FX_EMPTY) != 0
     aux = _aux_args(has_aux, qa_ref, ka_ref, bq, bk)
     c = 1.0 if folded else LOG2E
+    # With no score_mod the mask is applied as ONE additive f32 bias per
+    # head (built once per tick, head-invariant): masked scores carry
+    # _FX_BIAS, far below the running max's MASK_VALUE floor, so
+    # exp2((s - m) * c) underflows to exactly 0 and the probability pass
+    # needs no select (same trick as flash_fwd._fwd_sched_kernel).  With a
+    # score_mod the select form is kept: the mod is an arbitrary callable
+    # and masked positions must be clean even if it returns nan/inf there.
+    bias_mask = score_mod is None
 
     @pl.when(first)
     def _init():
-        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        m_ref[...] = jnp.full_like(
+            m_ref, MASK_VALUE if bias_mask else -jnp.inf)
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
@@ -555,6 +568,8 @@ def _flex_fwd_hb_kernel(
         keep = cols < sk_real
         if mask_mod is not None:
             keep = jnp.logical_and(keep, mask_mod(b, hq0, rows, cols, *aux))
+        if bias_mask:
+            return jnp.where(keep, 0.0, _FX_BIAS).astype(jnp.float32)
         return keep
 
     def qk_stage(hh, keep):
@@ -573,7 +588,7 @@ def _flex_fwd_hb_kernel(
                 jnp.int32, (bq, bk), 1)
             s = score_mod(s, b, hq0 + hh, rows, cols, *aux)
         if keep is not None:
-            s = jnp.where(keep, s, MASK_VALUE)
+            s = s + keep if bias_mask else jnp.where(keep, s, MASK_VALUE)
         return s
 
     def smpv_stage(hh, s, keep):
@@ -583,7 +598,7 @@ def _flex_fwd_hb_kernel(
         m_curr = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp2((m_prev - m_curr) * c)
         pmat = jnp.exp2((s - m_curr) * c)
-        if keep is not None:
+        if keep is not None and not bias_mask:
             pmat = jnp.where(keep, pmat, 0.0)
         l_curr = l_prev * alpha + jnp.sum(pmat, axis=1, keepdims=True)
         m_ref[hh] = jnp.broadcast_to(m_curr, m_ref.shape[1:])
