@@ -483,18 +483,23 @@ def flash_attn_varlen_func(
     b = cu_seqlens_q.shape[0] - 1
     if softmax_scale is None:
         softmax_scale = 1.0 / math.sqrt(d)
-    # Ragged batches route to the packed scheduled-grid path (tokens never
-    # padded; the host-built tile schedule walks exactly the needed block
-    # pairs — `kernels/varlen_sched.py`).  Near-uniform batches keep the
-    # padded path (the dense pipelined kernel at full rate).  Dropout
-    # hashes its keep mask on packed-stream coordinates; the backward
-    # reproduces it via per-sequence offsets (flash_bwd packed_dropout).
-    # The packed aux word keeps 16 position bits per token, so longer
-    # sequences stay padded.
+    # Multi-sequence batches route to the packed scheduled-grid path
+    # (tokens never padded; the host-built tile schedule walks exactly the
+    # needed block pairs — `kernels/varlen_sched.py`).  Router crossover
+    # measured on v5e (benchmarks/sweep_varlen_router.py, 1024/1024/bh4
+    # tiles + additive-bias mask): the scheduled kernel beats the
+    # pad->dense-kernel->unpack path at EVERY padding ratio, including
+    # perfectly uniform (causal 6.1 vs 9.7 ms; dense 8.3 vs 11.3 ms at
+    # b8xs4096h16d128) — the pad/unpad HBM round-trip costs more than the
+    # scheduled grid's per-tile deficit.  Dropout hashes its keep mask on
+    # packed-stream coordinates; the backward reproduces it via
+    # per-sequence offsets (flash_bwd packed_dropout).  The packed aux
+    # word keeps 16 position bits per token, so longer sequences stay
+    # padded.
     routable = (seqused_q is None and seqused_k is None
                 and not return_attn_probs)
     fits_packed = max(max_seqlen_q, max_seqlen_k) <= 0xFFFF
-    if routable and fits_packed and b * max_seqlen_q >= 2 * q.shape[0] and b > 1:
+    if routable and fits_packed and b > 1:
         from flash_attn_tpu.kernels.varlen_sched import (
             flash_attn_varlen_sched_func,
         )

@@ -95,12 +95,14 @@ def varlen_block_sizes(total_q: int, total_k: int, nheads: int,
 
     The scheduled grid walks host-built (q block, kv block) tile tables, so
     unlike the dense kernel its KV tile is both the DMA and the compute
-    granularity.  Placeholder defaults pending the on-device sweep
-    (VERDICT r2 item 7); block_h deepens the per-tick head pipeline the
-    same way the dense kernel's does.
+    granularity.  On-device sweep (benchmarks/sweep_varlen_tiles.py, v5e):
+    (1024, 1024, bh4) wins every case — uniform 8x2048 65.7 TF/s,
+    uniform 4x4096 85.6, ragged 1x8k+31x256 74.6, mixed 52.4 — vs 37-67
+    at the old (512, 512, bh4); block_h deepens the per-tick head
+    pipeline the same way the dense kernel's does.
     """
-    bq = min(512, max(128, round_up(total_q, 128)))
-    bk = min(512, max(128, round_up(total_k, 128)))
+    bq = min(1024, max(128, round_up(total_q, 128)))
+    bk = min(1024, max(128, round_up(total_k, 128)))
     bh = max(1, min(4, nheads))
     while nheads % bh:
         bh -= 1

@@ -48,6 +48,9 @@ from flash_attn_tpu.kernels.flash_fwd import (
 _POS_BITS = 16
 _POS_MASK = (1 << _POS_BITS) - 1
 _PAD_SEG = 0x7FFF
+# Additive mask bias: far below the MASK_VALUE floor of the running max,
+# so exp2((bias - m) * c) is exactly 0 in f32 (see _varlen_sched_kernel).
+_VL_BIAS = -3e38
 
 _FIRST, _LAST, _BOUND, _EMPTY = 1, 2, 4, 8
 STAT = 8  # q-aux lane replication
@@ -206,7 +209,10 @@ def _varlen_sched_kernel(
 
     @pl.when(first)
     def _init():
-        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        # m floor is MASK_VALUE (not -inf): masked scores carry the far
+        # lower _VL_BIAS, so exp2((bias - m) * c) underflows to exactly 0
+        # and the probability pass needs no select.
+        m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
@@ -217,7 +223,19 @@ def _varlen_sched_kernel(
     pq = qa & _POS_MASK         # from-end positions
     pk = ka & _POS_MASK
 
-    def qk_stage(hh, with_mask: bool):
+    def build_bias():
+        # Head-invariant additive mask bias, built ONCE per tick and
+        # shared by every head of the block (one VPU add per head instead
+        # of a per-head mask rebuild + two selects).
+        mask = jnp.logical_or(seg_q != seg_k, seg_q == _PAD_SEG)
+        if causal or wr >= 0:
+            w = 0 if causal else wr
+            mask = jnp.logical_or(mask, pk < pq - w)
+        if wl >= 0:
+            mask = jnp.logical_or(mask, pk > pq + wl)
+        return jnp.where(mask, _VL_BIAS, 0.0).astype(jnp.float32)
+
+    def qk_stage(hh, bias):
         hkv_local = 0 if hbk == 1 else hh
         kk = k_ref[hkv_local]
         s = jax.lax.dot_general(
@@ -231,18 +249,11 @@ def _varlen_sched_kernel(
         if has_alibi:
             slope = slopes_ref[hq0 + hh]
             s = s - slope * jnp.abs(pq - pk).astype(jnp.float32)
-        mask = None
-        if with_mask:
-            mask = jnp.logical_or(seg_q != seg_k, seg_q == _PAD_SEG)
-            if causal or wr >= 0:
-                w = 0 if causal else wr
-                mask = jnp.logical_or(mask, pk < pq - w)
-            if wl >= 0:
-                mask = jnp.logical_or(mask, pk > pq + wl)
-            s = jnp.where(mask, MASK_VALUE, s)
-        return s, mask
+        if bias is not None:
+            s = s + bias
+        return s
 
-    def smpv_stage(hh, s, mask):
+    def smpv_stage(hh, s):
         hkv_local = 0 if hbk == 1 else hh
         v = v_ref[hkv_local]
         m_prev = m_ref[hh, :, :1]
@@ -250,8 +261,6 @@ def _varlen_sched_kernel(
         m_curr = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp2((m_prev - m_curr) * c)
         pmat = jnp.exp2((s - m_curr) * c)
-        if mask is not None:
-            pmat = jnp.where(mask, 0.0, pmat)
         l_curr = l_prev * alpha + jnp.sum(pmat, axis=1, keepdims=True)
         m_ref[hh] = jnp.broadcast_to(m_curr, m_ref.shape[1:])
         l_ref[hh] = jnp.broadcast_to(l_curr, l_ref.shape[1:])
@@ -270,12 +279,13 @@ def _varlen_sched_kernel(
         acc_ref[hh] = acc_ref[hh] * alpha + pv
 
     def run_items(with_mask: bool):
+        bias = build_bias() if with_mask else None
         prev = None
         for hh in range(bh):
-            s, mask = qk_stage(hh, with_mask)
+            s = qk_stage(hh, bias)
             if prev is not None:
                 smpv_stage(*prev)
-            prev = (hh, s, mask)
+            prev = (hh, s)
         smpv_stage(*prev)
 
     @pl.when(jnp.logical_and(jnp.logical_not(empty),
