@@ -36,6 +36,18 @@ def main():
                     choices=["none", "dots", "dots_no_batch"],
                     help="what remat may keep: dots = save matmul outputs, "
                          "recompute only elementwise/attention")
+    ap.add_argument("--accum", type=int, default=1,
+                    help="gradient-accumulation micro-batches per adamw "
+                         "update (reference recipes' accumulate_grad_batches)")
+    ap.add_argument("--accum-dtype", type=str, default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--accum-unroll", action="store_true",
+                    help="unroll the micro-batch loop instead of lax.scan")
+    ap.add_argument("--param-dtype", type=str, default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="bfloat16 = Lightning precision=bf16-true role: "
+                         "params stored bf16 (no fp32 master copy, no "
+                         "per-use cast temps); float32 = bf16-mixed")
     args = ap.parse_args()
 
     import optax
@@ -75,8 +87,15 @@ def main():
 
     model = GPTLMHeadModel(cfg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
-    ids = jnp.asarray(rng.integers(0, vocab, (b, s + 1)), jnp.int32)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), ids[:, :s])
+    accum = max(1, args.accum)
+    bshape = (accum, b, s + 1) if accum > 1 else (b, s + 1)
+    ids = jnp.asarray(rng.integers(0, vocab, bshape), jnp.int32)
+    ids0 = ids[0] if accum > 1 else ids
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), ids0[:, :s])
+    if args.param_dtype == "bfloat16":
+        params = jax.jit(lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, t))(params)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
 
     opt = optax.adamw(3e-4)
@@ -88,7 +107,39 @@ def main():
 
     def train_step(carry, batch):
         params, opt_state = carry
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        if accum > 1:
+            # micro-batch scan, fp32 grad accumulator, one adamw update
+            # (trainer.py grad_fn counterpart)
+            acc_dt = getattr(jnp, args.accum_dtype)
+
+            if args.accum_unroll:
+                # straight-line (no lax.scan): lets XLA schedule buffer
+                # reuse across micros instead of keeping loop-hoisted bf16
+                # weight casts live for the whole scan
+                gacc = None
+                for i in range(accum):
+                    _, grads = jax.value_and_grad(loss_fn)(params, batch[i])
+                    gacc = (jax.tree_util.tree_map(
+                                lambda g: g.astype(acc_dt), grads)
+                            if gacc is None else
+                            jax.tree_util.tree_map(
+                                lambda a, g: a + g.astype(acc_dt),
+                                gacc, grads))
+            else:
+                def micro(c, mb):
+                    loss_sum, gacc = c
+                    loss, grads = jax.value_and_grad(loss_fn)(params, mb)
+                    gacc = jax.tree_util.tree_map(
+                        lambda a, g: a + g.astype(acc_dt), gacc, grads)
+                    return (loss_sum + loss, gacc), None
+                g0 = jax.tree_util.tree_map(
+                    lambda p: jnp.zeros(p.shape, acc_dt), params)
+                (_, gacc), _ = jax.lax.scan(
+                    micro, (jnp.float32(0.0), g0), batch)
+            grads = jax.tree_util.tree_map(
+                lambda g, p: (g / accum).astype(p.dtype), gacc, params)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state)
@@ -97,13 +148,14 @@ def main():
                            iters=4 if args.quick else 8, reps=3,
                            donate=True)
 
-    tokens = b * s
+    tokens = b * s * accum
     d_head = n_embd // n_head
     dense_flops = 6 * n_params * tokens
-    attn_flops = 3.5 * (4 * b * s * s * n_head * d_head // 2) * n_layer
+    attn_flops = 3.5 * (4 * b * s * s * n_head * d_head // 2) * n_layer * accum
     flops = dense_flops + attn_flops
     peak = 197e12  # v5e bf16
-    print(f"params={n_params/1e6:.0f}M  batch={b}x{s}")
+    print(f"params={n_params/1e6:.0f}M  batch={b}x{s}"
+          + (f"  accum={accum}" if accum > 1 else ""))
     print(f"step: {dt*1e3:.1f} ms   {tokens/dt:,.0f} tokens/s   "
           f"{flops/dt/1e12:.1f} TFLOP/s   MFU {flops/dt/peak*100:.1f}%")
 

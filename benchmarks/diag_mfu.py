@@ -74,9 +74,6 @@ def main():
     attn_flops = 3.5 * (4 * b * s * s * n_head * d_head // 2) * n_layer
     flops_step = dense_flops + attn_flops
 
-    opt = optax.adamw(3e-4)
-    opt_state = opt.init(params)
-
     def loss_fn(params, batch):
         return chunked_lm_loss(model, params, batch, chunk_tokens=16384)
 
@@ -86,13 +83,18 @@ def main():
         print(f"{name:10s}: {dt*1e3:8.2f} ms  {fl/dt/1e12:6.1f} TF/s  "
               f"MFU {fl/dt/PEAK*100:5.1f}%", flush=True)
 
+    # Each stage donates its carry for HBM headroom, but donation deletes
+    # the donated buffers — so every stage gets a fresh device copy of
+    # `params` and the caller's tree stays live for the later stages.
+    copy_tree = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
+
     if only is None or "fwd" in only:
         def fwd_step(p, batch):
             # tiny param perturbation keeps the carry dependency honest
             loss = loss_fn(p, batch)
             return jax.tree.map(lambda x: x + (loss * 0).astype(x.dtype), p)
-        dt = benchmark_chained(fwd_step, params, ids, iters=8, reps=3,
-                               donate=True)
+        dt = benchmark_chained(fwd_step, copy_tree(params), ids,
+                               iters=8, reps=3, donate=True)
         report("fwd", dt, (flops_step - attn_flops) / 3 +
                attn_flops / 3.5)
 
@@ -101,11 +103,16 @@ def main():
             _, grads = jax.value_and_grad(loss_fn)(p, batch)
             return jax.tree.map(
                 lambda x, g: x - 0.0 * g.astype(x.dtype), p, grads)
-        dt = benchmark_chained(fb_step, params, ids, iters=8, reps=3,
-                               donate=True)
+        dt = benchmark_chained(fb_step, copy_tree(params), ids,
+                               iters=8, reps=3, donate=True)
         report("fwd+bwd", dt, flops_step)
 
     if only is None or "step" in only:
+        # Last params consumer: donates the ORIGINAL tree (params + f32
+        # adamw moments don't fit twice in HBM, so no copy here).
+        opt = optax.adamw(3e-4)
+        opt_state = jax.jit(opt.init)(params)
+
         def train_step(carry, batch):
             p, o = carry
             loss, grads = jax.value_and_grad(loss_fn)(p, batch)
@@ -115,6 +122,28 @@ def main():
         dt = benchmark_chained(train_step, (params, opt_state), ids,
                                iters=8, reps=3, donate=True)
         report("step", dt, flops_step)
+        del params, opt_state
+
+    if only is not None and "opt" in only:
+        # adamw update alone (synthetic grads derived from params keep the
+        # chain dependency; no fwd/bwd).  HBM roofline: p f32 rw + mu rw +
+        # nu rw = 24 B/param  ->  ~24.6 ms at 819 GB/s for 839M params.
+        opt = optax.adamw(3e-4)
+        opt_state = jax.jit(opt.init)(params)
+
+        def opt_step(carry, batch):
+            del batch
+            p, o = carry
+            g = jax.tree.map(lambda x: x * jnp.asarray(1e-9, x.dtype), p)
+            updates, o = opt.update(g, o, p)
+            p = optax.apply_updates(p, updates)
+            return (p, o)
+        dt = benchmark_chained(opt_step, (params, opt_state), ids,
+                               iters=8, reps=3, donate=True)
+        gb = 24 * n_params / 1e9
+        print(f"{'opt':10s}: {dt*1e3:8.2f} ms  {gb/dt:6.1f} GB/s "
+              f"(roofline 819)", flush=True)
+        del params, opt_state
 
     if only is None or "attn" in only:
         import flash_attn_tpu as fa

@@ -33,6 +33,12 @@ class ModelConfig:
     tie_word_embeddings: bool = True
     parallel_block: bool = False
     dtype: str = "bfloat16"
+    # param storage dtype: "float32" = mixed precision (fp32 master
+    # weights, Lightning precision=bf16-mixed role); "bfloat16" =
+    # bf16-true (params stored bf16 end-to-end — no fp32 master copy; on
+    # a 16G/819GB/s v5e chip the master-weight cast+update traffic costs
+    # ~11% MFU, see docs/DESIGN.md training table)
+    param_dtype: str = "float32"
     # Per-block activation checkpointing (Lightning gradient_checkpointing
     # role).  remat_policy: "none" recomputes the whole block; "dots"
     # keeps matmul outputs (cheap recompute, still frees the elementwise/
@@ -142,6 +148,10 @@ class TrainerConfig:
     out_dir: str = "runs"
     # chunked LM-head cross-entropy: tokens per chunk (0 = unchunked)
     ce_chunk_tokens: int = 16384
+    # gradient accumulation: micro-batches per optimizer update (Lightning
+    # `accumulate_grad_batches` role in the reference recipes' global-batch
+    # math, e.g. `configs/experiment/owt/gpt2s-flash.yaml`)
+    accumulate_grad_batches: int = 1
 
 
 @dataclass

@@ -88,6 +88,11 @@ class Trainer:
             self.params = jax.jit(self.model.init)(
                 jax.random.PRNGKey(config.trainer.seed), ids0
             )
+        if getattr(config.model, "param_dtype", "float32") == "bfloat16":
+            # bf16-true: drop the fp32 master copy (see ModelConfig)
+            self.params = jax.jit(lambda t: jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, t))(self.params)
         self.tx = make_optimizer(config.optimizer, config.scheduler,
                                  self.params)
         self.opt_state = self.tx.init(self.params)
@@ -127,10 +132,11 @@ class Trainer:
         self._build_steps()
 
         if self.task == "image":
-            tokens_per_step = config.data.batch_size  # images/step
+            tokens_per_step = config.data.batch_size * self._accum
             self.flops = None
         else:
-            tokens_per_step = config.data.batch_size * config.data.seq_len
+            tokens_per_step = (config.data.batch_size * config.data.seq_len
+                               * self._accum)
             self.flops = FlopCount(self.gpt2_config, tokens_per_step)
         self.speed = SpeedMonitor(tokens_per_step)
         self.norms = NormMonitor()
@@ -177,10 +183,34 @@ class Trainer:
 
         tx = self.tx
         ema_decay = self.config.trainer.ema_decay
+        accum = max(1, self.config.trainer.accumulate_grad_batches)
+
+        def grad_fn(params, batch, step):
+            if accum == 1:
+                return jax.value_and_grad(train_loss)(params, batch, step)
+            # micro-batch scan with an fp32 grad accumulator: one optimizer
+            # update per `accum` micro-batches (Lightning
+            # accumulate_grad_batches; amortises the HBM-bound adamw pass)
+            def micro(carry, mb_i):
+                loss_sum, gacc = carry
+                mb, i = mb_i
+                loss, grads = jax.value_and_grad(train_loss)(
+                    params, mb, step * accum + i)
+                gacc = jax.tree_util.tree_map(
+                    lambda a, g: a + g.astype(jnp.float32), gacc, grads)
+                return (loss_sum + loss, gacc), None
+            g0 = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), params)
+            (loss_sum, gacc), _ = jax.lax.scan(
+                micro, (jnp.float32(0.0), g0),
+                (batch, jnp.arange(accum, dtype=jnp.int32)))
+            grads = jax.tree_util.tree_map(
+                lambda g, p: (g / accum).astype(p.dtype), gacc, params)
+            return loss_sum / accum, grads
 
         @jax.jit
         def train_step(params, opt_state, ema_params, batch, step):
-            loss, grads = jax.value_and_grad(train_loss)(params, batch, step)
+            loss, grads = grad_fn(params, batch, step)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             gnorm = optax.global_norm(grads)
@@ -194,13 +224,17 @@ class Trainer:
         # so multi-host/multi-chip runs feed each shard locally instead of
         # relying on GSPMD to guess (round-1 VERDICT weak #7)
         if self.multi:
-            sharding = NamedSharding(self.mesh, P("data"))
+            # with accumulation the leading dim is the micro-batch axis;
+            # the data axis shards the per-micro batch dim
+            spec = P(None, "data") if accum > 1 else P("data")
+            sharding = NamedSharding(self.mesh, spec)
             put1 = lambda b: jax.device_put(jnp.asarray(b), sharding)
         else:
             put1 = jnp.asarray
         self._put_batch = (
             (lambda b: tuple(put1(x) for x in b)) if self.task == "image"
             else put1)
+        self._accum = accum
 
     # ------------------------------------------------------------------
     # checkpoint / resume (orbax; `model_checkpoint.py` + fault-tolerant
@@ -279,9 +313,19 @@ class Trainer:
         if tc.resume:
             if self.maybe_resume():
                 emit(self.step, {"event": "resumed"})
+        accum = self._accum
+
+        def next_batch():
+            if accum == 1:
+                return next(self.loader)
+            micros = [next(self.loader) for _ in range(accum)]
+            if isinstance(micros[0], tuple):
+                return tuple(np.stack(xs) for xs in zip(*micros))
+            return np.stack(micros)
+
         with self.mesh:
             while self.step < tc.max_steps:
-                batch = self._put_batch(next(self.loader))
+                batch = self._put_batch(next_batch())
                 (self.params, self.opt_state, self.ema_params, loss,
                  gnorm) = self._train_step(
                     self.params, self.opt_state, self.ema_params, batch,

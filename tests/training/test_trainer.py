@@ -117,6 +117,76 @@ def test_multidevice_training(tmp_path):
     assert np.isfinite(loss)
 
 
+def test_grad_accumulation_equivalence(tmp_path):
+    """accum=K step == one adamw update on the mean of per-micro grads
+    (Lightning accumulate_grad_batches semantics)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from flash_attn_tpu.training.loss import chunked_lm_loss
+
+    cfg = tiny_config(tmp_path, **{"trainer.accumulate_grad_batches": 2})
+    t = Trainer(cfg)
+    rng = np.random.default_rng(1)
+    batch = jnp.asarray(
+        rng.integers(0, 128, (2, 4, cfg.data.seq_len + 1)), jnp.int32)
+
+    p1, o1, _, loss, _ = t._train_step(
+        t.params, t.opt_state, None, batch, jnp.int32(0))
+
+    # reference: mean of per-micro grads, one update
+    def loss_fn(params, mb):
+        return chunked_lm_loss(t.model, params, mb,
+                               chunk_tokens=cfg.trainer.ce_chunk_tokens)
+    losses, grads = zip(*(jax.value_and_grad(loss_fn)(t.params, batch[i])
+                          for i in range(2)))
+    gmean = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, *grads)
+    updates, _ = t.tx.update(gmean, t.opt_state, t.params)
+    p_ref = optax.apply_updates(t.params, updates)
+
+    np.testing.assert_allclose(float(loss), float(np.mean(losses)),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_bf16_true_param_dtype(tmp_path):
+    """param_dtype=bfloat16 (precision=bf16-true role): params stored
+    bf16, training still converges."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = tiny_config(tmp_path, **{"model.param_dtype": "bfloat16",
+                                   "model.dtype": "bfloat16",
+                                   "trainer.max_steps": 30})
+    t = Trainer(cfg)
+    assert all(x.dtype == jnp.bfloat16
+               for x in jax.tree_util.tree_leaves(t.params))
+    logs = []
+    t.train(log_fn=logs.append)
+    losses = [m["loss"] for m in logs if isinstance(m, dict) and "loss" in m]
+    assert losses[-1] < losses[0], losses
+
+
+def test_multidevice_accum(tmp_path):
+    """accum micro-axis + data-sharded batch dim compose on a mesh."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    cfg = tiny_config(tmp_path)
+    cfg.mesh.data = 2
+    cfg.trainer.accumulate_grad_batches = 2
+    cfg.trainer.max_steps = 4
+    t = Trainer(cfg)
+    loss = t.train(log_fn=lambda *_: None)
+    assert np.isfinite(loss)
+
+
 def test_config_yaml_roundtrip(tmp_path):
     p = tmp_path / "cfg.yaml"
     p.write_text("model:\n  n_layer: 3\ntrainer:\n  max_steps: 5\n")
