@@ -3,6 +3,7 @@
   PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/sweep_causal.py
 """
 
+import os
 import sys
 
 import jax
@@ -53,22 +54,27 @@ def run(b=1, h=16, s=8192, d=128, configs=None, causal=True):
     flops = attention_flops(b, s, s, h, d, causal, "fwd")
     tag = "" if causal else " dense"
 
-    for (bq, bk, bks, bh) in configs:
-        def step(qc, k, v, bq=bq, bk=bk, bks=bks, bh=bh):
+    for cfg in configs:
+        (bq, bk, bks, bh), brs = ((cfg[:3] + cfg[4:]), cfg[3]) \
+            if len(cfg) == 5 else (cfg, 0)
+
+        def step(qc, k, v, bq=bq, bk=bk, bks=bks, brs=brs, bh=bh):
             o, _ = flash_attn_fwd_bhsd(
                 qc, k, v, su, su, softmax_scale=d ** -0.5, causal=causal,
-                block_q=bq, block_k=bk, block_k_sub=bks, block_h=bh,
+                block_q=bq, block_k=bk, block_k_sub=bks,
+                block_q_sub=brs or None, block_h=bh,
                 full_lengths=True,
+                emit_lse=os.environ.get("SWEEP_NO_LSE") != "1",
             )
             return o.astype(qc.dtype)
 
+        name = f"bq{bq} bk{bk} bks{bks} brs{brs} bh{bh}{tag}"
         try:
             dt = benchmark_chained(step, q, k, v, iters=16, reps=3)
-            print(f"bq{bq} bk{bk} bks{bks} bh{bh}{tag}: "
-                  f"{flops / dt / 1e12:.1f} TF/s ({dt*1e3:.2f} ms)",
+            print(f"{name}: {flops / dt / 1e12:.1f} TF/s ({dt*1e3:.2f} ms)",
                   flush=True)
         except Exception as e:
-            print(f"bq{bq} bk{bk} bks{bks} bh{bh}: FAIL {type(e).__name__} "
+            print(f"{name}: FAIL {type(e).__name__} "
                   f"{str(e)[:120]}", flush=True)
 
 
@@ -83,8 +89,6 @@ if __name__ == "__main__":
         (1024, 512, 512, 4),
         (512, 1024, 1024, 8),
     ]
-    import os
-
     args = sys.argv[1:]
     causal = True
     split = False

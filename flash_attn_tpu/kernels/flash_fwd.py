@@ -105,6 +105,13 @@ class FwdParams:
     block_k: int  # major KV tile: DMA + grid granularity
     num_kv_blocks: int
     block_k_sub: int = 0  # compute subtile (<= block_k); 0 = same as block_k
+    # Q-row compute subtile for the scheduled grid (<= block_q; 0 = no row
+    # split).  With row subtiles, a diagonal tick computes only the
+    # (row-subtile x col-subtile) pairs the mask needs — triangular MXU
+    # waste drops from ~bq/2 to ~block_q_sub/2 rows per column (the 2-D
+    # form of the reference's n_masking_steps split,
+    # `flash_fwd_kernel.h:52`).
+    block_q_sub: int = 0
     # FP8 (e4m3) inputs with per-(batch, kv-head) descale, the TPU analogue
     # of the Hopper FP8 path (`hopper/flash_api.cpp:694-696` q/k/v_descale).
     # Tiles are dequantised to bf16 on load — fwd HBM traffic halves, the
@@ -498,7 +505,10 @@ _SCHED_FIRST = 1
 _SCHED_LAST = 2
 _SCHED_BOUNDARY = 4
 _SCHED_EMPTY = 8
-_SCHED_TYPE_SHIFT = 4  # upper bits: subtile-combo index
+_SCHED_INIT = 16  # zero m/l/acc scratch before the body (fallback only:
+# a row's first tick normally uses a *fresh* combo that writes instead of
+# read-modify-writes, so the ~6MB of zeroing VPU stores never happen)
+_SCHED_TYPE_SHIFT = 5  # upper bits: subtile-combo index
 
 
 def _build_schedule(p: FwdParams, nq: int, nk: int):
@@ -521,7 +531,9 @@ def _build_schedule(p: FwdParams, nq: int, nk: int):
 
     Returns (qi_tab, ki_tab, flags, combos): flags bits FIRST/LAST/EMPTY
     plus the combo index << _SCHED_TYPE_SHIFT; combos is a static tuple of
-    per-subtile codes (0 = skip, 1 = interior, 2 = masked).
+    2-D (row-subtile x col-subtile) code grids — tuples of per-row tuples
+    of codes (0 = skip, 1 = interior, 2 = masked).  Without block_q_sub
+    each grid has one row (whole-block behaviour).
     """
     import numpy as np
 
@@ -529,7 +541,9 @@ def _build_schedule(p: FwdParams, nq: int, nk: int):
     off = sk - sq
     bq, bk = p.block_q, p.block_k
     bks = p.block_k_sub or bk
+    brs = p.block_q_sub or bq
     nsub = bk // bks
+    nrsub = bq // brs
     qi_tab, ki_tab, flags = [], [], []
     combos: dict = {}
 
@@ -539,8 +553,38 @@ def _build_schedule(p: FwdParams, nq: int, nk: int):
         return combos[codes]
 
     # combo 0 is always the all-interior body (EMPTY padding entries point
-    # at it; they execute nothing)
-    combo_index(tuple([1] * nsub))
+    # at it; they execute nothing).  Combos are keyed (grid, fresh): the
+    # fresh variant WRITES m/l/acc (a row's first tick) instead of
+    # read-modify-writing, so no scratch zeroing pass is needed.
+    combo_index((tuple(tuple([1] * nsub) for _ in range(nrsub)), False))
+
+    def row_codes(r0q, r1q, ki):
+        codes = []
+        max_col = sk - 1
+        if p.has_upper:
+            max_col = min(max_col, r1q + off + max(p.wr, 0))
+        min_col = 0
+        if p.has_lower:
+            min_col = max(0, r0q + off - p.window_left)
+        for j in range(nsub):
+            c0 = ki * bk + j * bks
+            c1 = c0 + bks - 1
+            needed = (c0 <= max_col and c1 >= min_col and r0q < sq
+                      and max_col >= min_col)
+            if not needed:
+                codes.append(0)
+                continue
+            interior = c1 < sk and r1q < sq
+            if p.has_upper:
+                interior = interior and c1 <= r0q + off + p.wr
+            if p.has_lower:
+                interior = interior and c0 >= r1q + off - p.window_left
+            if not interior and os.environ.get(
+                    "FLASH_ATTN_TPU_SCHED_SKIPMASKED") == "1":
+                codes.append(0)  # perf diagnostic ONLY: wrong results
+                continue
+            codes.append(1 if interior else 2)
+        return tuple(codes)
 
     for qi in range(nq):
         r0q = qi * bq
@@ -555,27 +599,26 @@ def _build_schedule(p: FwdParams, nq: int, nk: int):
         if r0q >= sq or max_col < min_col or ki_hi < 0:
             qi_tab.append(qi)
             ki_tab.append(0)
-            flags.append(_SCHED_FIRST | _SCHED_LAST | _SCHED_EMPTY)
+            flags.append(
+                _SCHED_FIRST | _SCHED_LAST | _SCHED_EMPTY | _SCHED_INIT)
             continue
         ki_lo = max(ki_lo, 0)
         for ki in range(ki_lo, ki_hi + 1):
-            codes = []
-            for j in range(nsub):
-                c0 = ki * bk + j * bks
-                c1 = c0 + bks - 1
-                needed = c0 <= max_col and c1 >= min_col
-                if not needed:
-                    codes.append(0)
-                    continue
-                interior = c1 < sk and r1q < sq
-                if p.has_upper:
-                    interior = interior and c1 <= r0q + off + p.wr
-                if p.has_lower:
-                    interior = interior and c0 >= r1q + off - p.window_left
-                codes.append(1 if interior else 2)
-            fl = combo_index(tuple(codes)) << _SCHED_TYPE_SHIFT
+            grid = tuple(
+                row_codes(r0q + r * brs, r0q + (r + 1) * brs - 1, ki)
+                for r in range(nrsub))
+            fl = 0
             if ki == ki_lo:
                 fl |= _SCHED_FIRST
+                # fresh combo only if this tick touches every row group
+                # (it writes all scratch rows); otherwise zero-init
+                if all(any(row) for row in grid) and not p.sched_uncond:
+                    fl |= combo_index((grid, True)) << _SCHED_TYPE_SHIFT
+                else:
+                    fl |= _SCHED_INIT
+                    fl |= combo_index((grid, False)) << _SCHED_TYPE_SHIFT
+            else:
+                fl |= combo_index((grid, False)) << _SCHED_TYPE_SHIFT
             if ki == ki_hi:
                 fl |= _SCHED_LAST
             qi_tab.append(qi)
@@ -613,16 +656,21 @@ def _build_split_schedules(p_int: FwdParams, p_dia: FwdParams, nq: int):
     bksd = p_dia.block_k_sub or bkd
     nsub_d = bkd // bksd
     nsub_i = bki // (p_int.block_k_sub or bki)
+    nrs_i = bq // (p_int.block_q_sub or bq)
+    nrs_d = bq // (p_dia.block_q_sub or bq)
 
-    def new_sched():
-        return {"qi": [], "ki": [], "fl": [], "combos": {}}
+    def new_sched(nrs):
+        return {"qi": [], "ki": [], "fl": [], "combos": {}, "nrs": nrs}
 
-    def combo_index(s, codes):
-        if codes not in s["combos"]:
-            s["combos"][codes] = len(s["combos"])
-        return s["combos"][codes]
+    def combo_index(s, codes, fresh=False):
+        # 2-D grid form (_build_schedule): block-level codes replicated
+        # per row-subtile (conservative — no row skipping in split mode)
+        grid = (tuple(codes for _ in range(s["nrs"])), fresh)
+        if grid not in s["combos"]:
+            s["combos"][grid] = len(s["combos"])
+        return s["combos"][grid]
 
-    si, sd = new_sched(), new_sched()
+    si, sd = new_sched(nrs_i), new_sched(nrs_d)
     combo_index(si, tuple([1] * nsub_i))  # interior: all-interior body
     combo_index(sd, tuple([1] * nsub_d))
 
@@ -631,12 +679,17 @@ def _build_split_schedules(p_int: FwdParams, p_dia: FwdParams, nq: int):
         if not entries:
             s["qi"].append(qi)
             s["ki"].append(0)
-            s["fl"].append(_SCHED_FIRST | _SCHED_LAST | _SCHED_EMPTY)
+            s["fl"].append(
+                _SCHED_FIRST | _SCHED_LAST | _SCHED_EMPTY | _SCHED_INIT)
             return
         for n, (ki, codes) in enumerate(entries):
-            fl = combo_index(s, codes) << _SCHED_TYPE_SHIFT
             if n == 0:
+                # first tick always covers all (replicated) row groups:
+                # use the fresh (write-not-RMW) combo, skip scratch init
+                fl = combo_index(s, codes, fresh=True) << _SCHED_TYPE_SHIFT
                 fl |= _SCHED_FIRST
+            else:
+                fl = combo_index(s, codes) << _SCHED_TYPE_SHIFT
             if n == len(entries) - 1:
                 fl |= _SCHED_LAST
             s["qi"].append(qi)
@@ -705,8 +758,18 @@ def _fwd_sched_kernel(p: FwdParams, combos, qi_ref, ki_ref, fl_ref, *refs):
     host-built tile tables.  Static-length fast path only (full_lengths):
     masks are branch-free elementwise selects against static offsets; the
     (subtile x head) loop software-pipelines as in the dense path.
-    `combos`: static per-subtile code tuples (see _build_schedule) — each
-    becomes its own unpredicated body selected by the tick's type field."""
+
+    `combos`: static 2-D (row-subtile x col-subtile) code grids (see
+    _build_schedule) — each becomes its own unpredicated body selected by
+    the tick's type field.  Operands arrive subtile-blocked 5-D
+    ((1, HB, nrsub, brs, d) / (1, hbk, nsub, bks, d)): subtile reads are
+    leading-dim slices (cheap) and whole-tile reads are free contiguous
+    reshapes — the v5e sublane-subslice penalty (~1.6x) never applies.
+    Within a combo, maximal row groups with identical code rows merge
+    into one matmul M, and per row group maximal same-code col runs merge
+    into one matmul N, so the all-interior combo is a single
+    (bq x bk x d) matmul per head while a diagonal tick computes only the
+    triangular band (n_masking_steps role, `flash_fwd_kernel.h:52`)."""
     refs = list(refs)
     q_ref, k_ref, v_ref = refs[:3]
     refs = refs[3:]
@@ -722,38 +785,46 @@ def _fwd_sched_kernel(p: FwdParams, combos, qi_ref, ki_ref, fl_ref, *refs):
     t = pl.program_id(2)
     bq, bk = p.block_q, p.block_k
     bks = p.block_k_sub or bk
+    brs = p.block_q_sub or bq
     nsub = bk // bks
+    nrsub = bq // brs
     HB = p.block_h
     hq0 = hb * HB
     qi = qi_ref[t]
     ki = ki_ref[t]
     fl = fl_ref[t]
-    first = (fl & _SCHED_FIRST) != 0
     last = (fl & _SCHED_LAST) != 0
     empty = (fl & _SCHED_EMPTY) != 0
+    init = (fl & _SCHED_INIT) != 0
     ctype = jax.lax.shift_right_logical(fl, _SCHED_TYPE_SHIFT)
 
     off_s = p.seqlen_k - p.seqlen_q
     r0 = qi * bq
+    dv = v_ref.shape[-1]
 
-    @pl.when(first)
+    @pl.when(init)
     def _init():
-        # m floor is MASK_VALUE (not -inf): masked scores carry the far
-        # lower _SCHED_BIAS, so exp2(bias - m) underflows to exactly 0 and
-        # the probability pass needs NO select (see smpv_stage).
+        # Fallback only (rows whose first tick doesn't cover every row
+        # group, EMPTY padding, uncond mode): fresh combos write the
+        # scratch instead.  m floor is MASK_VALUE (not -inf): masked
+        # scores carry the far lower _SCHED_BIAS, so exp2(bias - m)
+        # underflows to exactly 0 and the probability pass needs NO
+        # select (see smpv_stage).
         m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    def build_bias(j):
-        # Head-invariant additive mask bias, built once per subtile and
-        # shared by every head of the block: one VPU add per head replaces
-        # the two selects (score + probability) of the select-mask form —
-        # the diagonal ticks' mask cost no longer scales 2x with block_h.
-        cols_t = ki * bk + j * bks + jax.lax.broadcasted_iota(
-            jnp.int32, (bq, bks), 1)
+    def build_bias(rg0, nr, ja, nj):
+        # Head-invariant additive mask bias, built once per (row group x
+        # col run) and shared by every head of the block: one VPU add per
+        # head replaces the two selects (score + probability) of the
+        # select-mask form.
+        R, W = nr * brs, nj * bks
+        cols_t = ki * bk + ja * bks + jax.lax.broadcasted_iota(
+            jnp.int32, (R, W), 1)
         mask = cols_t >= p.seqlen_k
-        rows_t = r0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bks), 0)
+        rows_t = r0 + rg0 * brs + jax.lax.broadcasted_iota(
+            jnp.int32, (R, W), 0)
         if p.has_upper:
             mask = jnp.logical_or(mask, cols_t > rows_t + off_s + p.wr)
         if p.has_lower:
@@ -761,55 +832,125 @@ def _fwd_sched_kernel(p: FwdParams, combos, qi_ref, ki_ref, fl_ref, *refs):
                 mask, cols_t < rows_t + off_s - p.window_left)
         return jnp.where(mask, _SCHED_BIAS, 0.0).astype(jnp.float32)
 
-    def qk_stage(j, hh, bias):
+    def qk_stage(it, hh, biases):
+        # One QK^T matmul per col run of the row group; the masked run's
+        # additive bias (head-invariant, hoisted) folds into the same VPU
+        # pass that writes s.
+        rg0, nr, runs = it
         hkv_local = 0 if p.hbk == 1 else hh
-        kk = k_ref[0, hkv_local, j * bks:(j + 1) * bks, :]
-        s = jax.lax.dot_general(
-            q_tile(hh), kk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if bias is not None:
-            s = s + bias
-        return (s,)
+        qq = q_ref[0, hh, rg0:rg0 + nr].reshape(nr * brs, q_ref.shape[-1])
+        ss = []
+        for (ja, nj, _), bias in zip(runs, biases):
+            kk = k_ref[0, hkv_local, ja:ja + nj].reshape(
+                nj * bks, k_ref.shape[-1])
+            s = jax.lax.dot_general(
+                qq, kk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if bias is not None:
+                s = s + bias
+            ss.append(s)
+        return ss
 
-    def q_tile(hh):
-        return q_ref[0, hh]
-
-    def smpv_stage(j, hh, s):
+    def smpv_stage(it, hh, ss, fresh=False):
+        # ONE fused online-softmax step over ALL col runs of the row
+        # group: a single joint max, one rescale, and one m/l/acc
+        # read-modify-write — a diagonal tick's interior+masked runs no
+        # longer double the (LANES-broadcast) scratch traffic.  `fresh`
+        # (a row's first tick): WRITE m/l/acc outright — no prior-state
+        # reads, no rescale, and no separate scratch-zeroing pass.
+        rg0, nr, runs = it
         hkv_local = 0 if p.hbk == 1 else hh
-        v = v_ref[0, hkv_local, j * bks:(j + 1) * bks, :]
-        m_prev = m_ref[hh, :, :1]
-        l_prev = l_ref[hh, :, :1]
-        m_curr = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp2(m_prev - m_curr)
-        # masked entries hold s ~ _SCHED_BIAS << m_curr (m is floored at
-        # MASK_VALUE by _init), so exp2 underflows to 0 — no select needed
-        pmat = jnp.exp2(s - m_curr)
-        l_curr = l_prev * alpha + jnp.sum(pmat, axis=1, keepdims=True)
-        m_ref[hh] = jnp.broadcast_to(m_curr, m_ref.shape[1:])
-        l_ref[hh] = jnp.broadcast_to(l_curr, l_ref.shape[1:])
-        pv = jax.lax.dot_general(
-            pmat.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_ref[hh] = acc_ref[hh] * alpha + pv
+        R = nr * brs
+        if fresh:
+            m_curr = jnp.full((R, 1), MASK_VALUE, jnp.float32)
+        else:
+            m_prev = m_ref[hh, rg0:rg0 + nr, :, :1].reshape(R, 1)
+            m_curr = m_prev
+        for s in ss:
+            m_curr = jnp.maximum(m_curr, jnp.max(s, axis=1, keepdims=True))
+        if fresh:
+            l_curr = jnp.zeros((R, 1), jnp.float32)
+        else:
+            l_prev = l_ref[hh, rg0:rg0 + nr, :, :1].reshape(R, 1)
+            alpha = jnp.exp2(m_prev - m_curr)
+            l_curr = l_prev * alpha
+        pv_tot = None
+        for (ja, nj, _), s in zip(runs, ss):
+            # masked entries hold s ~ _SCHED_BIAS << m_curr (m is floored
+            # at MASK_VALUE), so exp2 underflows to 0 — no select needed
+            pmat = jnp.exp2(s - m_curr)
+            l_curr = l_curr + jnp.sum(pmat, axis=1, keepdims=True)
+            v = v_ref[0, hkv_local, ja:ja + nj].reshape(nj * bks, dv)
+            pv = jax.lax.dot_general(
+                pmat.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            pv_tot = pv if pv_tot is None else pv_tot + pv
+        m_ref[hh, rg0:rg0 + nr] = jnp.broadcast_to(
+            m_curr, (R, LANES)).reshape(nr, brs, LANES)
+        l_ref[hh, rg0:rg0 + nr] = jnp.broadcast_to(
+            l_curr, (R, LANES)).reshape(nr, brs, LANES)
+        if fresh:
+            acc_ref[hh, rg0:rg0 + nr] = pv_tot.reshape(nr, brs, dv)
+        else:
+            acc = acc_ref[hh, rg0:rg0 + nr].reshape(R, dv)
+            acc_ref[hh, rg0:rg0 + nr] = (acc * alpha + pv_tot).reshape(
+                nr, brs, dv)
 
-    def run_combo(codes):
-        # Unpredicated software-pipelined body for ONE static subtile
-        # combo (0 = skip, 1 = interior, 2 = masked) — the Pallas form of
-        # the reference's masked/unmasked mainloop split
-        # (`flash_fwd_kernel.h:52` n_masking_steps, `hopper/tile_size.h`).
+    nomerge = os.environ.get("FLASH_ATTN_TPU_SCHED_NOMERGE") == "1"
+
+    def combo_items(grid):
+        # One work item per maximal row group with identical code rows:
+        # (rg0, n_rows, runs) where runs are the group's maximal same-code
+        # col runs (col_subtile, n_subtiles, masked).  All runs of an item
+        # share one online-softmax update (smpv_stage).
+        items = []
+        r = 0
+        while r < nrsub:
+            row = grid[r]
+            r2 = r
+            while r2 + 1 < nrsub and grid[r2 + 1] == row:
+                r2 += 1
+            runs = []
+            j = 0
+            while j < nsub:
+                code = row[j]
+                if code == 0:
+                    j += 1
+                    continue
+                j2 = j
+                while j2 + 1 < nsub and row[j2 + 1] == code:
+                    j2 += 1
+                runs.append((j, j2 - j + 1, code == 2))
+                j = j2 + 1
+            if runs:
+                if nomerge:
+                    for ja, nj, masked in runs:
+                        items.append((r, r2 - r + 1, ((ja, nj, masked),)))
+                else:
+                    items.append((r, r2 - r + 1, tuple(runs)))
+            r = r2 + 1
+        return items
+
+    def run_combo(grid, fresh=False):
+        # Unpredicated software-pipelined body for ONE static 2-D combo —
+        # the Pallas form of the reference's masked/unmasked mainloop
+        # split (`flash_fwd_kernel.h:52`, `hopper/tile_size.h`).
+        items = combo_items(grid)
+        if not items:
+            return
         prev = None
-        for j, code in enumerate(codes):
-            if code == 0:
-                continue
-            bias_j = build_bias(j) if code == 2 else None
+        for rg0, nr, runs in items:
+            it = (rg0, nr, runs)
+            biases = [build_bias(rg0, nr, ja, nj) if masked else None
+                      for (ja, nj, masked) in runs]
             for hh in range(HB):
-                (s,) = qk_stage(j, hh, bias_j)
+                ss = qk_stage(it, hh, biases)
                 if prev is not None:
-                    smpv_stage(*prev)
-                prev = (j, hh, s)
-        smpv_stage(*prev)
+                    smpv_stage(*prev, fresh=fresh)
+                prev = (it, hh, ss)
+        smpv_stage(*prev, fresh=fresh)
 
     if p.sched_uncond:
         # Single unpredicated body: every tick pays the elementwise mask
@@ -818,49 +959,77 @@ def _fwd_sched_kernel(p: FwdParams, combos, qi_ref, ki_ref, fl_ref, *refs):
         # Mosaic schedules one straight-line body.
         @pl.when(jnp.logical_not(empty))
         def _uncond_body():
-            run_combo(tuple([2] * nsub))
+            run_combo(tuple(tuple([2] * nsub) for _ in range(nrsub)))
     else:
-        for idx, codes in enumerate(combos):
+        for idx, (grid, fresh) in enumerate(combos):
             @pl.when(jnp.logical_and(jnp.logical_not(empty), ctype == idx))
-            def _combo_body(codes=codes):
-                run_combo(codes)
+            def _combo_body(grid=grid, fresh=fresh):
+                run_combo(grid, fresh)
 
     @pl.when(last)
     def _finalize():
         _fwd_finalize(p, sinks_ref, None, o_ref, lse_ref, acc_ref,
-                      m_ref, l_ref, b, hq0)
+                      m_ref, l_ref, b, hq0, sched5d=True)
 
 
 def _fwd_finalize(p: FwdParams, sinks_ref, vd_ref, o_ref, lse_ref, acc_ref,
-                  m_ref, l_ref, b, hq0):
-    generic = p.softcap > 0.0 or p.has_alibi
+                  m_ref, l_ref, b, hq0, sched5d: bool = False):
     for hh in range(p.block_h):
+        _fwd_finalize_head(p, sinks_ref, vd_ref, o_ref, lse_ref, acc_ref,
+                           m_ref, l_ref, b, hq0, hh, sched5d=sched5d)
+
+
+def _fwd_finalize_head(p: FwdParams, sinks_ref, vd_ref, o_ref, lse_ref,
+                       acc_ref, m_ref, l_ref, b, hq0, hh,
+                       sched5d: bool = False):
+    generic = p.softcap > 0.0 or p.has_alibi
+    bq = p.block_q
+    if sched5d:
+        # subtile-blocked scratch/outputs (see _fwd_sched_kernel):
+        # whole-tile views are free contiguous reshapes
+        l_final = l_ref[hh].reshape(bq, LANES)[:, :1]
+        m_final = m_ref[hh].reshape(bq, LANES)[:, :1]
+        acc = acc_ref[hh].reshape(bq, acc_ref.shape[-1])
+    else:
         l_final = l_ref[hh, :, :1]
         m_final = m_ref[hh, :, :1]
         acc = acc_ref[hh]
-        if p.has_sinks:
-            # One more online-softmax step against a virtual single-
-            # logit "block" that contributes no value (denominator only).
-            sink = sinks_ref[hq0 + hh]  # natural scaled-logit units
-            sink_k = sink * LOG2E if not generic else sink
-            cc = 1.0 if not generic else LOG2E
-            m_eff = jnp.maximum(m_final, sink_k)
-            alpha = jnp.exp2((m_final - m_eff) * cc)
-            sink_p = jnp.exp2((sink_k - m_eff) * cc)
-            acc = acc * alpha
-            l_final = l_final * alpha + sink_p
-            m_final = m_eff
-        empty = l_final == 0.0
-        l_safe = jnp.where(empty, 1.0, l_final)
-        if p.fp8:
-            acc = acc * vd_ref[b, (hq0 + hh) // p.g]
-        o_ref[0, hh] = (acc / l_safe).astype(o_ref.dtype)
-        if lse_ref is not None:
-            # m is in scale*log2(e) units on the fast path (Q pre-scaled);
-            # rescale for the natural-log LSE.  Reference writes +inf LSE
-            # for fully-masked rows (`softmax.h:170` normalize_softmax_lse).
-            m_nat = m_final if generic else m_final / LOG2E
-            lse = jnp.where(empty, jnp.inf, m_nat + jnp.log(l_safe))
+    if p.has_sinks:
+        # One more online-softmax step against a virtual single-
+        # logit "block" that contributes no value (denominator only).
+        sink = sinks_ref[hq0 + hh]  # natural scaled-logit units
+        sink_k = sink * LOG2E if not generic else sink
+        cc = 1.0 if not generic else LOG2E
+        m_eff = jnp.maximum(m_final, sink_k)
+        alpha = jnp.exp2((m_final - m_eff) * cc)
+        sink_p = jnp.exp2((sink_k - m_eff) * cc)
+        acc = acc * alpha
+        l_final = l_final * alpha + sink_p
+        m_final = m_eff
+    empty = l_final == 0.0
+    l_safe = jnp.where(empty, 1.0, l_final)
+    if p.fp8:
+        acc = acc * vd_ref[b, (hq0 + hh) // p.g]
+    out = (acc / l_safe).astype(o_ref.dtype)
+    if sched5d:
+        o_ref[0, hh] = out.reshape(o_ref.shape[2:])
+    else:
+        o_ref[0, hh] = out
+    if lse_ref is not None:
+        # m is in scale*log2(e) units on the fast path (Q pre-scaled);
+        # rescale for the natural-log LSE.  Reference writes +inf LSE
+        # for fully-masked rows (`softmax.h:170` normalize_softmax_lse).
+        m_nat = m_final if generic else m_final / LOG2E
+        lse = jnp.where(empty, jnp.inf, m_nat + jnp.log(l_safe))
+        if sched5d and lse_ref.ndim == 4:
+            # packed rows->(sublane, lane) tile: a 4KB write per head
+            # instead of a 512KB LANES-broadcast (and 128x less HBM).
+            # Only when bq/LANES is sublane-aligned (see _run_sched).
+            lse_ref[0, hh] = lse.reshape(lse_ref.shape[2:])
+        elif sched5d:
+            lse_ref[0, hh] = jnp.broadcast_to(
+                lse, (bq, LANES)).reshape(lse_ref.shape[2:])
+        else:
             lse_ref[0, hh] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
@@ -886,6 +1055,7 @@ def flash_attn_fwd_bhsd(
     block_q: int | None = None,
     block_k: int | None = None,
     block_k_sub: int | None = None,
+    block_q_sub: int | None = None,
     block_h: int | None = None,
     full_lengths: bool = False,
     split_diag: tuple | None = None,
@@ -931,20 +1101,13 @@ def flash_attn_fwd_bhsd(
     if bk % bks != 0:
         bks = bk
     if pipelined and block_q is None and block_k is None:
-        # tuned on v5e (hdim128 seq8k sweeps): dense 167.7 TF/s = 85% of
-        # 197 at 256/4096/bh8.  Causal/local run the scheduled grid; the
-        # combo-coded schedule supports sub-bk compute subtiles
-        # (block_k_sub) but measured v5e sweeps show 512-col VMEM
-        # subslice reads run ~1.6x slower per tile than whole-tile reads
-        # and multi-combo pl.when dispatch blocks Mosaic scheduling
-        # (32-84 TF/s vs 128.6 whole-tile), so the default keeps
-        # bks == bk and eats the ~bq/2-col diagonal waste.
         if boundary_heavy:
-            # v5e seq8k sweep (round 3, additive-bias mask): 137.2 TF/s
-            # no-LSE / 133.8 with LSE at 1024/1024/bh4 (512/1024/bh4:
-            # 133.2/130.3).  Interior ticks run at the dense rate; the
-            # residual gap to dense is the diagonal tiles' triangular MXU
-            # waste (~bq/s of total work).
+            # Causal/local run the scheduled grid.  v5e seq8k sweep
+            # (round 3): 147-152 TF/s with-LSE at 1024/1024 tiles with
+            # 256x256 (row x col) compute subtiles — diagonal ticks
+            # compute only the triangular band of fused row-group items
+            # (see _fwd_sched_kernel) while interior ticks stay one
+            # whole-tile matmul at the dense rate (164.7).
             bq, cap = 1024, 1024
         else:
             # v5e hdim128/seq8k sweep (round 3, LSE-write elided): 175.0
@@ -953,6 +1116,15 @@ def flash_attn_fwd_bhsd(
             bq, cap = 256, 2048
         bk = min(cap, max(128, round_up(sk, 128)))
         bks = bk
+        if boundary_heavy and bk >= 512:
+            bks = 256
+    # Q-row compute subtile (scheduled grid only; see FwdParams)
+    brs = block_q_sub or 0
+    if not brs and pipelined and boundary_heavy and block_q_sub is None \
+            and bq >= 512:
+        brs = 256
+    if brs and (bq % brs != 0 or brs % 8 != 0):
+        brs = 0
     sq_p = round_up(max(sq, bq), bq)
     sk_p = round_up(max(sk, bk), bk)
 
@@ -997,6 +1169,7 @@ def flash_attn_fwd_bhsd(
         block_k=bk,
         num_kv_blocks=nk,
         block_k_sub=bks,
+        block_q_sub=brs,
         fp8=bool(fp8),
         has_sinks=sinks is not None,
         dropout_p=float(dropout_p),
@@ -1025,39 +1198,64 @@ def flash_attn_fwd_bhsd(
         bq_c, bk_c, bh_c = p_c.block_q, p_c.block_k, p_c.block_h
         hbk_c = p_c.hbk
         sqp_c = q_c.shape[2]
+        skp_c = k_c.shape[2]
+        bks_c = p_c.block_k_sub or bk_c
+        brs_c = p_c.block_q_sub or bq_c
+        nsub_c = bk_c // bks_c
+        nrsub_c = bq_c // brs_c
+
+        # subtile-blocked 5-D layout: subtile reads in the kernel are
+        # leading-dim slices (no sublane-subslice penalty) and whole-tile
+        # reads are free contiguous reshapes
+        q5 = q_c.reshape(b, h, sqp_c // brs_c, brs_c, d)
+        k5 = k_c.reshape(b, k_c.shape[1], skp_c // bks_c, bks_c, d)
+        v5 = v_c.reshape(b, v_c.shape[1], skp_c // bks_c, bks_c, dv)
 
         def q_map_s(b_, hb_, t, qi_r, ki_r, fl_r):
-            return (b_, hb_, qi_r[t], 0)
+            return (b_, hb_, qi_r[t], 0, 0)
 
         def kv_map_s(b_, hb_, t, qi_r, ki_r, fl_r):
             if g == 1:
-                return (b_, hb_, ki_r[t], 0)
-            return (b_, (hb_ * bh_c) // g, ki_r[t], 0)
+                return (b_, hb_, ki_r[t], 0, 0)
+            return (b_, (hb_ * bh_c) // g, ki_r[t], 0, 0)
 
         in_specs_s = [
-            pl.BlockSpec((1, bh_c, bq_c, d), q_map_s),
-            pl.BlockSpec((1, hbk_c, bk_c, d), kv_map_s),
-            pl.BlockSpec((1, hbk_c, bk_c, dv), kv_map_s),
+            pl.BlockSpec((1, bh_c, nrsub_c, brs_c, d), q_map_s),
+            pl.BlockSpec((1, hbk_c, nsub_c, bks_c, d), kv_map_s),
+            pl.BlockSpec((1, hbk_c, nsub_c, bks_c, dv), kv_map_s),
         ]
-        inputs_s = [q_c, k_c, v_c]
+        inputs_s = [q5, k5, v5]
         if p_c.has_sinks:
             in_specs_s.append(pl.BlockSpec(memory_space=pltpu.SMEM))
             inputs_s.append(jnp.asarray(sinks, jnp.float32).reshape(h))
-        out_specs_s = [pl.BlockSpec((1, bh_c, bq_c, dv), q_map_s)]
-        out_shape_s = [jax.ShapeDtypeStruct((b, h, sqp_c, dv), part_dtype)]
-        if p_c.emit_lse:
-            out_specs_s.append(pl.BlockSpec((1, bh_c, bq_c, LANES), q_map_s))
-            out_shape_s.append(
-                jax.ShapeDtypeStruct((b, h, sqp_c, LANES), jnp.float32))
+        out_specs_s = [pl.BlockSpec((1, bh_c, nrsub_c, brs_c, dv), q_map_s)]
+        out_shape_s = [jax.ShapeDtypeStruct(
+            (b, h, sqp_c // brs_c, brs_c, dv), part_dtype)]
+        lse_packed = bq_c % (8 * LANES) == 0
+        if p_c.emit_lse and lse_packed:
+            # packed LSE: bq rows per tile as (bq/LANES sublanes x LANES)
+            def lse_map_s(b_, hb_, t, qi_r, ki_r, fl_r):
+                return (b_, hb_, qi_r[t], 0)
+
+            out_specs_s.append(
+                pl.BlockSpec((1, bh_c, bq_c // LANES, LANES), lse_map_s))
+            out_shape_s.append(jax.ShapeDtypeStruct(
+                (b, h, sqp_c // LANES, LANES), jnp.float32))
+        elif p_c.emit_lse:
+            # sublane-misaligned bq: LANES-broadcast fallback layout
+            out_specs_s.append(
+                pl.BlockSpec((1, bh_c, nrsub_c, brs_c, LANES), q_map_s))
+            out_shape_s.append(jax.ShapeDtypeStruct(
+                (b, h, sqp_c // brs_c, brs_c, LANES), jnp.float32))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(b, h // bh_c, T),
             in_specs=in_specs_s,
             out_specs=out_specs_s,
             scratch_shapes=[
-                pltpu.VMEM((bh_c, bq_c, dv), jnp.float32),
-                pltpu.VMEM((bh_c, bq_c, LANES), jnp.float32),
-                pltpu.VMEM((bh_c, bq_c, LANES), jnp.float32),
+                pltpu.VMEM((bh_c, nrsub_c, brs_c, dv), jnp.float32),
+                pltpu.VMEM((bh_c, nrsub_c, brs_c, LANES), jnp.float32),
+                pltpu.VMEM((bh_c, nrsub_c, brs_c, LANES), jnp.float32),
             ],
         )
         flops = 4 * b * h * sq * sk * d // (2 if causal else 1)
@@ -1078,7 +1276,13 @@ def flash_attn_fwd_bhsd(
             interpret=use_interpret(),
         )(jnp.asarray(qi_tab), jnp.asarray(ki_tab), jnp.asarray(fl_tab),
           *inputs_s)
-        return res if p_c.emit_lse else (res[0], None)
+        res = list(res) if isinstance(res, (tuple, list)) else [res]
+        o5 = res[0].reshape(b, h, sqp_c, dv)
+        if p_c.emit_lse and lse_packed:
+            return o5, res[1].reshape(b, h, sqp_c)
+        if p_c.emit_lse:
+            return o5, res[1].reshape(b, h, sqp_c, LANES)[..., 0]
+        return o5, None
 
     if pipelined and boundary_heavy and split_diag is not None:
         # Interior/diagonal split (see _build_split_schedules): the
@@ -1102,8 +1306,7 @@ def flash_attn_fwd_bhsd(
         o_d, lse_d = _run_sched(p_dia, sched_dia, q, k, v, jnp.float32)
         from flash_attn_tpu.kernels.combine import merge_attn_state
 
-        o, lse = merge_attn_state(
-            o_i, lse_i[..., 0], o_d, lse_d[..., 0])
+        o, lse = merge_attn_state(o_i, lse_i, o_d, lse_d)
         o = o.astype(out_dtype)
         lse = lse[:, :, :sq]
         if sq_p != sq:
@@ -1116,7 +1319,7 @@ def flash_attn_fwd_bhsd(
         o, lse = _run_sched(p, _build_schedule(p, nq, nk), q, k, v,
                             out_dtype)
         if lse is not None:
-            lse = lse[:, :, :sq, 0]
+            lse = lse[:, :, :sq]
         if sq_p != sq:
             o = o[:, :, :sq, :]
         return o, lse

@@ -118,7 +118,8 @@ def benchmark_attention_fwd(
     return benchmark_chained(step, q, k, v, iters=iters, reps=reps, agg=agg)
 
 
-def benchmark_attention_fwd_bwd(flash_fn, q, k, v, iters=16, reps=3, **kw):
+def benchmark_attention_fwd_bwd(flash_fn, q, k, v, iters=16, reps=3,
+                                agg: str = "median", **kw):
     """Time fwd+bwd chained through (q, k, v) gradients."""
 
     def loss(q, k, v):
@@ -133,4 +134,5 @@ def benchmark_attention_fwd_bwd(flash_fn, q, k, v, iters=16, reps=3, **kw):
                 dk.astype(k.dtype) * 1e-3 + k,
                 dv.astype(v.dtype) * 1e-3 + v)
 
-    return benchmark_chained(step, (q, k, v), iters=iters, reps=reps)
+    return benchmark_chained(step, (q, k, v), iters=iters, reps=reps,
+                             agg=agg)
