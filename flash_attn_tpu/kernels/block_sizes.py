@@ -70,11 +70,11 @@ def bwd_block_sizes(
     seqlen_q: int, seqlen_k: int, head_dim: int, boundary_heavy: bool = False
 ) -> BwdBlockSizes:
     # v5e sweep (fwd+bwd, hdim128 seq8k): dense prefers a 2048-wide KV tile
-    # in the bwd kernels; causal/local prefer a narrow 512 KV tile (round-3
-    # sweep: 131.4 TF/s fwd+bwd at 1024/512 vs 125.6 at 1024/1024 — less
-    # diagonal waste per masked tile).
+    # in the bwd kernels; causal/local now prefer square 1024 tiles (round-3
+    # re-sweep after the fwd row-subtile work: 137-142 TF/s fwd+bwd at
+    # 1024/1024 vs 133 at the old 1024/512 — fewer, fuller boundary tiles).
     if head_dim <= 128:
-        bq, bk = (1024, 512) if boundary_heavy else (1024, 2048)
+        bq, bk = (1024, 1024) if boundary_heavy else (1024, 2048)
     else:
         bq, bk = 512, 512
     bq = min(bq, max(128, round_up(seqlen_q, 128)))
