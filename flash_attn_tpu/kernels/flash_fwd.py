@@ -511,6 +511,83 @@ _SCHED_INIT = 16  # zero m/l/acc scratch before the body (fallback only:
 _SCHED_TYPE_SHIFT = 5  # upper bits: subtile-combo index
 
 
+def _combo_items(grid, nomerge=False):
+    """Work items of one static 2-D combo grid: one item per maximal row
+    group with identical code rows — (rg0, n_rows, runs) where runs are
+    the group's maximal same-code col runs (col_subtile, n_subtiles,
+    masked).  All runs of an item share one online-softmax update
+    (`_fwd_sched_kernel.smpv_stage`)."""
+    nrsub, nsub = len(grid), len(grid[0])
+    items = []
+    r = 0
+    while r < nrsub:
+        row = grid[r]
+        r2 = r
+        while r2 + 1 < nrsub and grid[r2 + 1] == row:
+            r2 += 1
+        runs = []
+        j = 0
+        while j < nsub:
+            code = row[j]
+            if code == 0:
+                j += 1
+                continue
+            j2 = j
+            while j2 + 1 < nsub and row[j2 + 1] == code:
+                j2 += 1
+            runs.append((j, j2 - j + 1, code == 2))
+            j = j2 + 1
+        if runs:
+            if nomerge:
+                for ja, nj, masked in runs:
+                    items.append((r, r2 - r + 1, ((ja, nj, masked),)))
+            else:
+                items.append((r, r2 - r + 1, tuple(runs)))
+        r = r2 + 1
+    return items
+
+
+def _static_bias_patterns(p: FwdParams, combos):
+    """Enumerate the distinct compile-time mask-bias patterns of a
+    schedule's combos (combos whose ticks all share one (col - row)
+    offset and stay inside the key range — see _build_schedule).  Returns
+    (patterns, index) where patterns is a list of float32 numpy arrays and
+    index maps (combo_idx, rg0, ja) -> position in patterns."""
+    import numpy as np
+
+    brs = p.block_q_sub or p.block_q
+    bks = p.block_k_sub or p.block_k
+    off_s = p.seqlen_k - p.seqlen_q
+    nomerge = os.environ.get("FLASH_ATTN_TPU_SCHED_NOMERGE") == "1"
+    patterns, keys, index = [], {}, {}
+    for ci, (grid, _fresh, (delta, in_bounds)) in enumerate(combos):
+        if delta is None or not in_bounds:
+            continue
+        for rg0, nr, runs in _combo_items(grid, nomerge):
+            for ja, nj, masked in runs:
+                if not masked:
+                    continue
+                R, W = nr * brs, nj * bks
+                # dynamic form masks cols_t > rows_t + off_s + wr; in
+                # relative coords: (rel + jc) > jr + wr with
+                # rel = (col origin) - (row origin) - off_s
+                rel = delta + ja * bks - rg0 * brs - off_s
+                key = (R, W, rel)
+                if key not in keys:
+                    rows_i = np.arange(R)[:, None]
+                    cols_i = rel + np.arange(W)[None, :]
+                    mask = np.zeros((R, W), bool)
+                    if p.has_upper:
+                        mask |= cols_i > rows_i + p.wr
+                    if p.has_lower:
+                        mask |= cols_i < rows_i - p.window_left
+                    keys[key] = len(patterns)
+                    patterns.append(
+                        np.where(mask, _SCHED_BIAS, 0.0).astype(np.float32))
+                index[(ci, rg0, ja)] = keys[key]
+    return patterns, index
+
+
 def _build_schedule(p: FwdParams, nq: int, nk: int):
     """Flatten the (q block, kv block) iteration space into exactly the
     pairs a causal/local mask needs — the TPU analogue of the reference's
@@ -546,10 +623,22 @@ def _build_schedule(p: FwdParams, nq: int, nk: int):
     nrsub = bq // brs
     qi_tab, ki_tab, flags = [], [], []
     combos: dict = {}
+    combo_meta: dict = {}
 
-    def combo_index(codes):
+    def combo_index(codes, qi=None, ki=None):
         if codes not in combos:
             combos[codes] = len(combos)
+            # static mask geometry: if every tick using this combo sits at
+            # the same (col - row) offset and never crosses the key end,
+            # its bias is a compile-time constant (no runtime iota/where)
+            combo_meta[codes] = [ki * bk - qi * bq, True] \
+                if qi is not None else [None, False]
+        else:
+            meta = combo_meta[codes]
+            if qi is None or meta[0] != ki * bk - qi * bq:
+                meta[0] = None
+        if qi is not None and (ki + 1) * bk > sk:
+            combo_meta[codes][1] = False
         return combos[codes]
 
     # combo 0 is always the all-interior body (EMPTY padding entries point
@@ -613,18 +702,23 @@ def _build_schedule(p: FwdParams, nq: int, nk: int):
                 # fresh combo only if this tick touches every row group
                 # (it writes all scratch rows); otherwise zero-init
                 if all(any(row) for row in grid) and not p.sched_uncond:
-                    fl |= combo_index((grid, True)) << _SCHED_TYPE_SHIFT
+                    fl |= combo_index((grid, True), qi, ki) \
+                        << _SCHED_TYPE_SHIFT
                 else:
                     fl |= _SCHED_INIT
-                    fl |= combo_index((grid, False)) << _SCHED_TYPE_SHIFT
+                    fl |= combo_index((grid, False), qi, ki) \
+                        << _SCHED_TYPE_SHIFT
             else:
-                fl |= combo_index((grid, False)) << _SCHED_TYPE_SHIFT
+                fl |= combo_index((grid, False), qi, ki) \
+                    << _SCHED_TYPE_SHIFT
             if ki == ki_hi:
                 fl |= _SCHED_LAST
             qi_tab.append(qi)
             ki_tab.append(ki)
             flags.append(fl)
-    combo_list = tuple(sorted(combos, key=combos.get))
+    combo_list = tuple(
+        (grid, fresh, tuple(combo_meta[(grid, fresh)]))
+        for grid, fresh in sorted(combos, key=combos.get))
     return (np.asarray(qi_tab, np.int32), np.asarray(ki_tab, np.int32),
             np.asarray(flags, np.int32), combo_list)
 
@@ -748,12 +842,15 @@ def _build_split_schedules(p_int: FwdParams, p_dia: FwdParams, nq: int):
     def fin(s):
         return (np.asarray(s["qi"], np.int32), np.asarray(s["ki"], np.int32),
                 np.asarray(s["fl"], np.int32),
-                tuple(sorted(s["combos"], key=s["combos"].get)))
+                tuple((grid, fresh, (None, False))
+                      for grid, fresh in sorted(s["combos"],
+                                                key=s["combos"].get)))
 
     return fin(si), fin(sd)
 
 
-def _fwd_sched_kernel(p: FwdParams, combos, qi_ref, ki_ref, fl_ref, *refs):
+def _fwd_sched_kernel(p: FwdParams, combos, bias_index,
+                      qi_ref, ki_ref, fl_ref, *refs):
     """Scheduled-grid forward: grid (b, h/block_h, T) walking the
     host-built tile tables.  Static-length fast path only (full_lengths):
     masks are branch-free elementwise selects against static offsets; the
@@ -774,6 +871,8 @@ def _fwd_sched_kernel(p: FwdParams, combos, qi_ref, ki_ref, fl_ref, *refs):
     q_ref, k_ref, v_ref = refs[:3]
     refs = refs[3:]
     sinks_ref = refs.pop(0) if p.has_sinks else None
+    n_bias = 1 + max(bias_index.values()) if bias_index else 0
+    bias_refs = [refs.pop(0) for _ in range(n_bias)]
     if p.emit_lse:
         o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
     else:
@@ -814,12 +913,18 @@ def _fwd_sched_kernel(p: FwdParams, combos, qi_ref, ki_ref, fl_ref, *refs):
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    def build_bias(rg0, nr, ja, nj):
+    def build_bias(rg0, nr, ja, nj, ci=None):
         # Head-invariant additive mask bias, built once per (row group x
         # col run) and shared by every head of the block: one VPU add per
         # head replaces the two selects (score + probability) of the
         # select-mask form.
         R, W = nr * brs, nj * bks
+        if (ci, rg0, ja) in bias_index:
+            # every tick using this combo sits at the same static
+            # (col - row) offset inside the key range: the bias is a
+            # host-precomputed constant input resident in VMEM — zero
+            # runtime iota/compare/where (see _static_bias_patterns)
+            return bias_refs[bias_index[(ci, rg0, ja)]][...]
         cols_t = ki * bk + ja * bks + jax.lax.broadcasted_iota(
             jnp.int32, (R, W), 1)
         mask = cols_t >= p.seqlen_k
@@ -901,39 +1006,9 @@ def _fwd_sched_kernel(p: FwdParams, combos, qi_ref, ki_ref, fl_ref, *refs):
     nomerge = os.environ.get("FLASH_ATTN_TPU_SCHED_NOMERGE") == "1"
 
     def combo_items(grid):
-        # One work item per maximal row group with identical code rows:
-        # (rg0, n_rows, runs) where runs are the group's maximal same-code
-        # col runs (col_subtile, n_subtiles, masked).  All runs of an item
-        # share one online-softmax update (smpv_stage).
-        items = []
-        r = 0
-        while r < nrsub:
-            row = grid[r]
-            r2 = r
-            while r2 + 1 < nrsub and grid[r2 + 1] == row:
-                r2 += 1
-            runs = []
-            j = 0
-            while j < nsub:
-                code = row[j]
-                if code == 0:
-                    j += 1
-                    continue
-                j2 = j
-                while j2 + 1 < nsub and row[j2 + 1] == code:
-                    j2 += 1
-                runs.append((j, j2 - j + 1, code == 2))
-                j = j2 + 1
-            if runs:
-                if nomerge:
-                    for ja, nj, masked in runs:
-                        items.append((r, r2 - r + 1, ((ja, nj, masked),)))
-                else:
-                    items.append((r, r2 - r + 1, tuple(runs)))
-            r = r2 + 1
-        return items
+        return _combo_items(grid, nomerge)
 
-    def run_combo(grid, fresh=False):
+    def run_combo(grid, fresh=False, ci=None):
         # Unpredicated software-pipelined body for ONE static 2-D combo —
         # the Pallas form of the reference's masked/unmasked mainloop
         # split (`flash_fwd_kernel.h:52`, `hopper/tile_size.h`).
@@ -943,7 +1018,7 @@ def _fwd_sched_kernel(p: FwdParams, combos, qi_ref, ki_ref, fl_ref, *refs):
         prev = None
         for rg0, nr, runs in items:
             it = (rg0, nr, runs)
-            biases = [build_bias(rg0, nr, ja, nj) if masked else None
+            biases = [build_bias(rg0, nr, ja, nj, ci) if masked else None
                       for (ja, nj, masked) in runs]
             for hh in range(HB):
                 ss = qk_stage(it, hh, biases)
@@ -961,10 +1036,10 @@ def _fwd_sched_kernel(p: FwdParams, combos, qi_ref, ki_ref, fl_ref, *refs):
         def _uncond_body():
             run_combo(tuple(tuple([2] * nsub) for _ in range(nrsub)))
     else:
-        for idx, (grid, fresh) in enumerate(combos):
+        for idx, (grid, fresh, _meta) in enumerate(combos):
             @pl.when(jnp.logical_and(jnp.logical_not(empty), ctype == idx))
-            def _combo_body(grid=grid, fresh=fresh):
-                run_combo(grid, fresh)
+            def _combo_body(grid=grid, fresh=fresh, idx=idx):
+                run_combo(grid, fresh, idx)
 
     @pl.when(last)
     def _finalize():
@@ -1228,6 +1303,13 @@ def flash_attn_fwd_bhsd(
         if p_c.has_sinks:
             in_specs_s.append(pl.BlockSpec(memory_space=pltpu.SMEM))
             inputs_s.append(jnp.asarray(sinks, jnp.float32).reshape(h))
+        # host-precomputed constant mask-bias tiles (constant index map:
+        # fetched into VMEM once, never re-DMAed)
+        bias_pats, bias_index = _static_bias_patterns(p_c, combos)
+        for pat in bias_pats:
+            in_specs_s.append(pl.BlockSpec(
+                pat.shape, lambda b_, hb_, t, qi_r, ki_r, fl_r: (0, 0)))
+            inputs_s.append(jnp.asarray(pat))
         out_specs_s = [pl.BlockSpec((1, bh_c, nrsub_c, brs_c, dv), q_map_s)]
         out_shape_s = [jax.ShapeDtypeStruct(
             (b, h, sqp_c // brs_c, brs_c, dv), part_dtype)]
@@ -1260,7 +1342,7 @@ def flash_attn_fwd_bhsd(
         )
         flops = 4 * b * h * sq * sk * d // (2 if causal else 1)
         res = pl.pallas_call(
-            functools.partial(_fwd_sched_kernel, p_c, combos),
+            functools.partial(_fwd_sched_kernel, p_c, combos, bias_index),
             grid_spec=grid_spec,
             out_shape=out_shape_s,
             compiler_params=pltpu.CompilerParams(
