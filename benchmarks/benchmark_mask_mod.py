@@ -34,7 +34,7 @@ def main():
 
     b, h, d = 1, 16, 128
     s = 4096 if args.quick else 8192
-    bq = bk = 512
+    bq = bk = 1024  # v5e flex default (1024^2/bh4 sweep optimum)
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
     k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
