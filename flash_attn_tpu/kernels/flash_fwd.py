@@ -1209,8 +1209,14 @@ def flash_attn_fwd_bhsd(
         bh = block_h
     elif pipelined:
         # keep several independent MXU/VPU chains in flight (d > 128 halves
-        # the head block to keep double-buffered K/V tiles inside VMEM)
-        bh = 4 if boundary_heavy else (16 if d <= 128 else 8)
+        # the head block to keep double-buffered K/V tiles inside VMEM).
+        # Scheduled grid at d256: bh4 spills VMEM and collapses to 69 TF/s;
+        # bh2 runs 164.6 (v5e seq8k sweep).  d192 still prefers bh4 (126.9
+        # vs 108.9), so the cliff sits between 192 and 256.
+        if boundary_heavy:
+            bh = 4 if d <= 192 else 2
+        else:
+            bh = 16 if d <= 128 else 8
     elif work >= 2048 * 4096:
         bh = 1
     elif work >= 1024 * 2048:
