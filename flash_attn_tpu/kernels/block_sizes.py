@@ -103,7 +103,10 @@ def varlen_block_sizes(total_q: int, total_k: int, nheads: int,
     """
     bq = min(1024, max(128, round_up(total_q, 128)))
     bk = min(1024, max(128, round_up(total_k, 128)))
-    bh = max(1, min(4, nheads))
+    # Same VMEM cliff as the dense scheduled grid: at head_dim 256 a
+    # 4-head block spills (19 TF/s) while bh2 runs 103.8 (v5e sweep,
+    # uniform 4x2048 causal).
+    bh = max(1, min(4 if head_dim <= 192 else 2, nheads))
     while nheads % bh:
         bh -= 1
     return VarlenBlockSizes(bq, bk, bh)
