@@ -805,7 +805,10 @@ def _flex_fwd(
     # v5e sweep (seq8k causal/sliding, 1024^2 tiles): bh4 is the optimum
     # (136/116 TF/s-computed vs 61/28 at bh8 — VMEM pressure collapses
     # the wider block), matching the builtin scheduled kernel's default.
-    hb = min(block_h if block_h is not None else 4, hb_limit)
+    # At head dims above 192 even bh4 spills (69 vs 153 TF/s-computed at
+    # d256/bh2) — same cliff as the builtin grid.
+    hb_default = 4 if d <= 192 else 2
+    hb = min(block_h if block_h is not None else hb_default, hb_limit)
     while hb_limit % hb:
         hb -= 1
     if head_invariant and hb > 1:
