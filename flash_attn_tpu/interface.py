@@ -470,14 +470,15 @@ def flash_attn_varlen_func(
         # Paged-KV varlen prefill (chunked prefill against a paged cache;
         # reference `hopper/flash_api.cpp:673-707` page_table in varlen
         # fwd).  k/v are the paged caches (npages, page, hk, d).
-        if dropout_p > 0.0 or softcap > 0.0 or return_attn_probs:
+        if dropout_p > 0.0:
             raise NotImplementedError(
-                "paged varlen prefill supports dropout_p=0, softcap=0")
+                "paged varlen prefill supports dropout_p=0 (inference path)")
         return _varlen_paged_prefill(
             q, k, v, cu_seqlens_q, max_seqlen_q, block_table,
             seqused_k=seqused_k, cu_seqlens_k=cu_seqlens_k,
             softmax_scale=softmax_scale, causal=causal,
-            window_size=window_size, alibi_slopes=alibi_slopes,
+            window_size=window_size, softcap=softcap,
+            alibi_slopes=alibi_slopes, return_lse=return_attn_probs,
         )
     d = q.shape[-1]
     b = cu_seqlens_q.shape[0] - 1
@@ -545,7 +546,7 @@ def flash_attn_varlen_func(
 def _varlen_paged_prefill(
     q, k_cache, v_cache, cu_seqlens_q, max_seqlen_q, block_table, *,
     seqused_k, cu_seqlens_k, softmax_scale, causal, window_size,
-    alibi_slopes,
+    alibi_slopes, softcap=0.0, return_lse=False,
 ):
     """Chunked prefill against a paged KV cache.
 
@@ -574,10 +575,11 @@ def _varlen_paged_prefill(
     valid = src >= cu_seqlens_q[:-1, None]
     qp = q[jnp.clip(src, 0, total_q - 1)]  # (b, max_sq, h, d)
 
-    o, _ = decode_attn_ref_layout(
+    o, lse = decode_attn_ref_layout(
         qp, k_cache, v_cache, lens_k,
         softmax_scale=float(softmax_scale), causal=causal,
-        window_size=window_size, alibi_slopes=alibi_slopes,
+        window_size=window_size, softcap=softcap,
+        alibi_slopes=alibi_slopes,
         block_table=block_table,
     )
     o = jnp.where(valid[:, :, None, None], o, 0)
@@ -590,7 +592,17 @@ def _varlen_paged_prefill(
     )
     pos = (jnp.arange(total_q, dtype=jnp.int32) - cu_seqlens_q[seg]
            + max_seqlen_q - lens_q[seg])
-    return o[seg, jnp.clip(pos, 0, max_seqlen_q - 1)]
+    out = o[seg, jnp.clip(pos, 0, max_seqlen_q - 1)]
+    if return_lse:
+        # Right-align the LSE rows to match the padded varlen path's
+        # (b, h, max_seqlen_q) convention (token t of sequence i at row t).
+        t = jnp.arange(max_seqlen_q, dtype=jnp.int32)[None, :]
+        src_row = jnp.clip(t + (max_seqlen_q - lens_q[:, None]),
+                           0, max_seqlen_q - 1)
+        lse_r = jnp.take_along_axis(lse, src_row[:, None, :], axis=2)
+        lse_r = jnp.where((t < lens_q[:, None])[:, None, :], lse_r, 0.0)
+        return out, lse_r, None
+    return out
 
 
 def flash_attn_varlen_qkvpacked_func(

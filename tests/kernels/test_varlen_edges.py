@@ -142,10 +142,11 @@ def test_packed_matches_padded_on_ragged():
     check_close(out_packed, ref, ref_pt, atol_floor=8e-3)
 
 
-@pytest.mark.parametrize("causal", [True, False])
-def test_varlen_paged_prefill(causal):
+@pytest.mark.parametrize("causal,softcap", [(True, 0.0), (False, 0.0),
+                                            (True, 30.0)])
+def test_varlen_paged_prefill(causal, softcap):
     """block_table in flash_attn_varlen_func (chunked prefill against a
-    paged cache; reference `hopper/flash_api.cpp:673-707`)."""
+    paged cache; reference `hopper/flash_api.cpp:673-707`, incl. softcap)."""
     rng = np.random.default_rng(6)
     h, hk, d, page = 4, 2, 64, 64
     lens_q = [48, 96, 17]          # new-chunk lengths
@@ -173,12 +174,15 @@ def test_varlen_paged_prefill(causal):
     kq = jnp.asarray(k_pages, jnp.bfloat16)
     vq = jnp.asarray(v_pages, jnp.bfloat16)
 
-    out = flash_attn_varlen_func(
+    out, lse, s_dmask = flash_attn_varlen_func(
         q, kq, vq, cu_q, None, max(lens_q), max(lens_k),
-        causal=causal, block_table=table,
+        causal=causal, softcap=softcap, block_table=table,
         seqused_k=jnp.asarray(lens_k, jnp.int32),
+        return_attn_probs=True,
     )
     assert out.shape == (total_q, h, d)
+    assert lse.shape == (b, h, max(lens_q)) and s_dmask is None
+    assert bool(jnp.all(jnp.isfinite(lse[0, :, : lens_q[0]])))
 
     # oracle: per-sequence bottom-right-causal attention over the full keys
     cq = np.asarray(cu_q)
@@ -186,8 +190,8 @@ def test_varlen_paged_prefill(causal):
         qi = q[cq[i]:cq[i + 1]][None]
         ki = jnp.asarray(k_lin[i], jnp.bfloat16)[None]
         vi = jnp.asarray(v_lin[i], jnp.bfloat16)[None]
-        ref, _ = attention_ref(qi, ki, vi, causal=causal)
-        ref_pt, _ = attention_ref(qi, ki, vi, causal=causal, upcast=False,
-                                  reorder_ops=True)
+        ref, _ = attention_ref(qi, ki, vi, causal=causal, softcap=softcap)
+        ref_pt, _ = attention_ref(qi, ki, vi, causal=causal, softcap=softcap,
+                                  upcast=False, reorder_ops=True)
         check_close(out[cq[i]:cq[i + 1]], ref[0], ref_pt[0],
                     atol_floor=8e-3, label=f"seq{i}")
