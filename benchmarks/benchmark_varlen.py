@@ -61,6 +61,69 @@ def main():
         print(f"{name:22s} ({t:6d} tok): packed {dtp*1e3:7.2f} ms  "
               f"padded {dtd*1e3:7.2f} ms  ratio {dtd/dtp:5.2f}x", flush=True)
 
+    # ---- fwd+bwd: the training cost.  The packed path now runs a
+    # first-class packed backward on the scheduled grid (varlen_sched.py);
+    # the padded comparison gathers to (b, max_s) and pays b*max_s^2. ----
+    print("\nfwd+bwd (training step cost):", flush=True)
+    from flash_attn_tpu.kernels.varlen_sched import (
+        flash_attn_varlen_sched_func,
+    )
+    from flash_attn_tpu.utils.benchmark import attention_flops
+    from flash_attn_tpu import flash_attn_func
+
+    for name, lens in cases.items():
+        lens = np.asarray(lens, np.int32)
+        cu = jnp.asarray(np.concatenate([[0], np.cumsum(lens)]), jnp.int32)
+        t = int(cu[-1])
+        mx = int(lens.max())
+        b = len(lens)
+        q = jnp.asarray(rng.standard_normal((t, h, d)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((t, h, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((t, h, d)), jnp.bfloat16)
+
+        def loss_packed(q, k, v):
+            o = flash_attn_varlen_sched_func(
+                q, k, v, cu, cu, mx, mx, causal=True)
+            return jnp.sum(o.astype(jnp.float32))
+
+        gp = jax.grad(loss_packed, (0, 1, 2))
+
+        def step_packed(carry):
+            q, k, v = carry
+            dq, dk, dv = gp(q, k, v)
+            return (q + dq.astype(q.dtype) * 1e-3,
+                    k + dk.astype(k.dtype) * 1e-3,
+                    v + dv.astype(v.dtype) * 1e-3)
+
+        # padded: the dense kernel on (b, max_s) — what a pad-and-mask
+        # training pipeline pays
+        qp = jnp.asarray(rng.standard_normal((b, mx, h, d)), jnp.bfloat16)
+        kp = jnp.asarray(rng.standard_normal((b, mx, h, d)), jnp.bfloat16)
+        vp = jnp.asarray(rng.standard_normal((b, mx, h, d)), jnp.bfloat16)
+
+        def loss_padded(q, k, v):
+            o = flash_attn_func(q, k, v, causal=True)
+            return jnp.sum(o.astype(jnp.float32))
+
+        gd = jax.grad(loss_padded, (0, 1, 2))
+
+        def step_padded(carry):
+            q, k, v = carry
+            dq, dk, dv = gd(q, k, v)
+            return (q + dq.astype(q.dtype) * 1e-3,
+                    k + dk.astype(k.dtype) * 1e-3,
+                    v + dv.astype(v.dtype) * 1e-3)
+
+        dtp = benchmark_chained(step_packed, (q, k, v), iters=4, reps=3)
+        dtd = benchmark_chained(step_padded, (qp, kp, vp), iters=4, reps=3)
+        fl = sum(attention_flops(1, int(L), int(L), h, d, True, "fwd_bwd")
+                 for L in lens)
+        pad_ratio = 1.0 - t / (b * mx)
+        print(f"{name:22s} ({t:6d} tok, {pad_ratio:4.0%} pad): "
+              f"packed {dtp*1e3:7.2f} ms ({fl/dtp/1e12:6.1f} TF/s)  "
+              f"padded {dtd*1e3:7.2f} ms  ratio {dtd/dtp:5.2f}x",
+              flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -20,10 +20,16 @@ to the packed (total_tokens, h, d) stream:
   item n issues ahead of softmax+PV of item n-1.
 * softcap / ALiBi / dropout supported (the round-1 gaps).
 
-Backward: `flash_attn_varlen_sched_func` is a `jax.custom_vjp` whose
-backward re-gathers to the padded layout and runs the deterministic fused
-backward (`flash_bwd.py`) with per-sequence `seqused` — packed-fast
-forward, exact padded backward.
+Backward: first-class packed backward on the same scheduled grid
+(`_varlen_sched_bwd` — the varlen `run_mha_bwd` role,
+`csrc/flash_attn/flash_api.cpp:757` + `csrc/flash_attn/src/block_info.h:13`
+driving the bwd kernel): dK/dV-stationary walk of a device-built
+KV-major tile table over the packed (total_tokens, h, d) streams, with a
+whole-stream dQ accumulator in VMEM scratch.  Total fwd+bwd cost scales
+with total-token work, not b * max_s^2.  When the dQ scratch would not
+fit VMEM the backward falls back to re-gathering to the padded layout
+and running the dense deterministic backward (`flash_bwd.py`) with
+per-sequence `seqused`.
 """
 
 from __future__ import annotations
@@ -420,6 +426,391 @@ def _sched_t_max(nq, nk, causal, bq, bk, same_stream, nseq):
     return nq * nk
 
 
+# ---------------------------------------------------------------------------
+# First-class packed backward (scheduled grid)
+# ---------------------------------------------------------------------------
+
+# Flags for the backward schedule (KV-stationary walk)
+_BV_INIT = 1      # very first entry of the grid row: zero the dQ accumulator
+_BV_FIRST = 2     # first entry of this kv block: zero dK/dV accumulators
+_BV_LAST = 4      # last entry of this kv block: flush dK/dV
+_BV_BOUND = 8     # tile needs the elementwise mask
+_BV_COMPUTE = 16  # run the compute body
+
+# dQ scratch ceiling: g * total_q_p * d * 4 bytes must fit VMEM alongside
+# the working tiles (mirrors flash_bwd._FUSED_DQ_SCRATCH_LIMIT).
+_PACKED_BWD_DQ_LIMIT = 48 * 1024 * 1024
+
+
+def build_varlen_bwd_schedule(
+    cu_q, cu_k, total_q_p, total_k_p, *, bq, bk, causal, window, g, T_max,
+):
+    """Device-side KV-major schedule for the packed backward.
+
+    Same interval analysis as `build_varlen_schedule`, but ordered
+    ki-major (dK/dV stationary) and expanded by the GQA group `g`
+    (t = one (ki, qi, gi) tile).  Returns (ki_tab, qi_tab, gi_tab,
+    fl_tab), each (T_max * g,).
+
+    dQ correctness: entries are ki-ascending, so the LAST scheduled visit
+    of any (gi, qi) carries the completed dQ accumulator slab and its
+    write wins (earlier per-tick writes are dead stores) — the same
+    convention as `flash_bwd._build_bwd_schedule`.
+    """
+    nq = total_q_p // bq
+    nk = total_k_p // bk
+    nseq = cu_q.shape[0] - 1
+    wl, wr = int(window[0]), int(window[1])
+
+    def seg_of(pos, cu):
+        s = jnp.searchsorted(cu, pos, side="right").astype(jnp.int32) - 1
+        return jnp.clip(s, 0, nseq - 1)
+
+    q0 = jnp.arange(nq, dtype=jnp.int32) * bq
+    q1 = q0 + bq - 1
+    k0 = jnp.arange(nk, dtype=jnp.int32) * bk
+    k1 = k0 + bk - 1
+    total_q = cu_q[-1]
+    total_k = cu_k[-1]
+    q1c = jnp.minimum(q1, total_q - 1)
+    k1c = jnp.minimum(k1, total_k - 1)
+    qs0, qs1 = seg_of(q0, cu_q), seg_of(q1c, cu_q)
+    ks0, ks1 = seg_of(k0, cu_k), seg_of(k1c, cu_k)
+    q_in = q0 < total_q
+    k_live = k0 < total_k
+
+    inter = ((qs0[:, None] <= ks1[None, :]) & (ks0[None, :] <= qs1[:, None])
+             & q_in[:, None] & k_live[None, :])
+
+    q_end = cu_q[qs0 + 1]
+    k_end = cu_k[ks0 + 1]
+    one_seg = ((qs0 == qs1)[:, None] & (ks0 == ks1)[None, :]
+               & (qs0[:, None] == ks0[None, :]))
+    blocks_real = (q1[:, None] < total_q) & (k1[None, :] < total_k)
+    full = inter & one_seg & blocks_real
+    if causal or wr >= 0:
+        w = 0 if causal else wr
+        pk_last = k_end[None, :] - 1 - k1[None, :]
+        pq_first = q_end[:, None] - 1 - q0[:, None]
+        full = full & (pk_last >= pq_first - w)
+        pk_first = k_end[None, :] - 1 - k0[None, :]
+        pq_last = q_end[:, None] - 1 - q1[:, None]
+        inter = inter & ~(one_seg & (pk_first < pq_last - w))
+    if wl >= 0:
+        pk_first = k_end[None, :] - 1 - k0[None, :]
+        pq_last = q_end[:, None] - 1 - q1[:, None]
+        full = full & (pk_first <= pq_last + wl)
+        pk_last = k_end[None, :] - 1 - k1[None, :]
+        pq_first = q_end[:, None] - 1 - q0[:, None]
+        inter = inter & ~(one_seg & (pk_last > pq_first + wl))
+
+    needed = inter
+    # forced rows: every in-range q block needs >= 1 entry so its dq slab
+    # is written (zeros); forced columns: every live kv block needs >= 1
+    # entry so its dk/dv tiles are written (zeros)
+    col0 = (jnp.arange(nk) == 0)[None, :]
+    row0 = (jnp.arange(nq) == 0)[:, None]
+    row_any = needed.any(axis=1)
+    force_row = (~row_any) & q_in
+    aug = needed | (force_row[:, None] & col0)
+    col_any = aug.any(axis=0)
+    force_col = (~col_any) & k_live
+    aug = aug | (force_col[None, :] & row0)
+
+    # per-kv-block first/last via a column-wise cumsum
+    csum = jnp.cumsum(aug, axis=0)
+    first = aug & (csum == 1)
+    last = aug & (csum == csum[-1:, :])
+    boundary = needed & ~full
+
+    flags = (first * _BV_FIRST + last * _BV_LAST + boundary * _BV_BOUND
+             + needed * _BV_COMPUTE).astype(jnp.int32)
+
+    flat_aug = aug.reshape(-1)                      # index = qi * nk + ki
+    qi_grid = jnp.arange(nq, dtype=jnp.int32)[:, None]
+    ki_grid = jnp.arange(nk, dtype=jnp.int32)[None, :]
+    key2 = jnp.where(aug, ki_grid * nq + qi_grid, jnp.int32(nq * nk))
+    order = jnp.argsort(key2.reshape(-1))[:T_max]
+    valid = key2.reshape(-1)[order] < nq * nk
+    qi_tab = jnp.where(valid, order // nk, 0).astype(jnp.int32)
+    ki_tab = jnp.where(valid, order % nk, 0).astype(jnp.int32)
+    fl_tab = jnp.where(valid, flags.reshape(-1)[order], 0)
+    del flat_aug
+
+    # tail entries carry the last valid (ki, qi) — no fresh DMA or block
+    # transition on padding ticks
+    idx = jax.lax.cummax(
+        jnp.where(valid, jnp.arange(T_max, dtype=jnp.int32), -1))
+    idx = jnp.maximum(idx, 0)
+    qi_tab, ki_tab = qi_tab[idx], ki_tab[idx]
+
+    # expand by the GQA group: FIRST/INIT only at gi == 0, LAST at g - 1
+    fl_tab = fl_tab.at[0].set(fl_tab[0] | _BV_INIT)
+    qi_g = jnp.repeat(qi_tab, g)
+    ki_g = jnp.repeat(ki_tab, g)
+    gi_g = jnp.tile(jnp.arange(g, dtype=jnp.int32), T_max)
+    fl_g = jnp.repeat(fl_tab, g)
+    fl_g = jnp.where(gi_g == 0, fl_g, fl_g & ~(_BV_FIRST | _BV_INIT))
+    fl_g = jnp.where(gi_g == g - 1, fl_g, fl_g & ~_BV_LAST)
+    return ki_g, qi_g, gi_g, fl_g
+
+
+def _varlen_bwd_kernel(meta, ki_ref, qi_ref, gi_ref, fl_ref, *refs):
+    """Grid (hk, T*g).  One (kv block, q block, group head) tile per tick:
+    recompute S from the packed streams + aux-word mask, 5 matmuls
+    (S, dV += P^T dO, dP = dO V^T, dK += dS^T Q, dQ += dS K)."""
+    (scale, causal, wl, wr, softcap, has_alibi, g, bq, bk, dropout_p,
+     folded, nq) = meta
+    refs = list(refs)
+    (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qa_ref,
+     ka_ref) = refs[:8]
+    refs = refs[8:]
+    slopes_ref = refs.pop(0) if has_alibi else None
+    seed_ref = refs.pop(0) if dropout_p > 0.0 else None
+    dq_ref, dk_ref, dv_ref, dq_all, dk_acc, dv_acc = refs
+
+    hk_i = pl.program_id(0)
+    i = pl.program_id(1)
+    ki = ki_ref[i]
+    qi = qi_ref[i]
+    gi = gi_ref[i]
+    fl = fl_ref[i]
+    hq = hk_i * g + gi
+    dq_off = (gi * nq + qi) * bq
+
+    @pl.when((fl & _BV_INIT) != 0)
+    def _init_dq():
+        dq_all[...] = jnp.zeros_like(dq_all)
+
+    @pl.when((fl & _BV_FIRST) != 0)
+    def _init_dkv():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    def body(masked):
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        lse_row = lse_ref[0][:, :1]
+        delta_row = delta_ref[0][:, :1]
+        qa = qa_ref[:, :1]
+        ka = ka_ref[0, :1, :]
+        pq = qa & _POS_MASK
+        pk = ka & _POS_MASK
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s_cap = None
+        if not folded:
+            s = s * scale
+            if softcap > 0.0:
+                s_cap = jnp.tanh(s / softcap) * softcap
+                s = s_cap
+            if has_alibi:
+                slope = slopes_ref[hq]
+                s = s - slope * jnp.abs(pq - pk).astype(jnp.float32)
+
+        if masked:
+            seg_q = jax.lax.shift_right_logical(qa, _POS_BITS)
+            seg_k = jax.lax.shift_right_logical(ka, _POS_BITS)
+            mask = jnp.logical_or(seg_q != seg_k, seg_q == _PAD_SEG)
+            if causal or wr >= 0:
+                w = 0 if causal else wr
+                mask = jnp.logical_or(mask, pk < pq - w)
+            if wl >= 0:
+                mask = jnp.logical_or(mask, pk > pq + wl)
+            s = jnp.where(mask, MASK_VALUE, s)
+
+        # folded: s and lse both in scale*log2(e) units — pmat is bitwise
+        # the forward's probability
+        pmat = jnp.exp2(s - lse_row) if folded else (
+            jnp.exp2((s - lse_row) * LOG2E))
+        pd = pmat
+        if dropout_p > 0.0:
+            # forward hashed on packed-stream coordinates, batch 0
+            rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            cols = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            keep = dropout_keep(seed_ref[0], 0, hq, rows, cols, dropout_p)
+            rp = 1.0 / (1.0 - dropout_p)
+            pd = jnp.where(keep, pmat, 0.0) * rp
+        dv_acc[...] += jax.lax.dot_general(
+            pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if dropout_p > 0.0:
+            dp = jnp.where(keep, dp, 0.0) * rp
+        ds = pmat * (dp - delta_row)
+        if softcap > 0.0:
+            ds = ds * (1.0 - (s_cap / softcap) ** 2)
+        if not folded:
+            ds = ds * scale
+        ds_lp = ds.astype(q.dtype)
+        # dK += dS^T Q (folded: q carries scale*log2e — compensated at
+        # flush); dQ += dS K (folded: scale rides on the K tile)
+        dk_acc[...] += jax.lax.dot_general(
+            ds_lp, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        k_dq = k * jnp.asarray(scale, k.dtype) if folded else k
+        dq_all[pl.dslice(dq_off, bq), :] += jax.lax.dot_general(
+            ds_lp, k_dq, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    compute = (fl & _BV_COMPUTE) != 0
+    bound = (fl & _BV_BOUND) != 0
+
+    @pl.when(jnp.logical_and(compute, jnp.logical_not(bound)))
+    def _interior():
+        body(False)
+
+    @pl.when(jnp.logical_and(compute, bound))
+    def _boundary():
+        body(True)
+
+    # every tick writes its (gi, qi) slab; the last visit's write carries
+    # the completed accumulation and wins (earlier ones are dead stores)
+    dq_ref[0] = dq_all[pl.dslice(dq_off, bq), :].astype(dq_ref.dtype)
+
+    @pl.when((fl & _BV_LAST) != 0)
+    def _finalize():
+        dk = dk_acc[...]
+        if folded:
+            dk = dk * (1.0 / LOG2E)
+        dk_ref[0] = dk.astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _varlen_sched_bwd(
+    q, k, v, do, o, lse, cu_q, cu_k, *, scale, causal, window, softcap,
+    slopes, dropout_p, dropout_seed, same_stream, bq, bk,
+):
+    """Packed backward launch.  q/do/o: (total_q, h, d); k/v: (total_k,
+    hk, d); lse: (h, total_q) natural-log units.  Returns packed
+    (dq, dk, dv)."""
+    total_q, h, d = q.shape
+    total_k, hk, _ = k.shape
+    dv_dim = v.shape[-1]
+    g = h // hk
+    tq_p = round_up(max(total_q, bq), bq)
+    tk_p = round_up(max(total_k, bk), bk)
+    nq, nk = tq_p // bq, tk_p // bk
+    folded = softcap == 0.0 and slopes is None
+
+    cu_q32 = jnp.asarray(cu_q, jnp.int32)
+    cu_k32 = jnp.asarray(cu_k, jnp.int32)
+    qa = token_aux(cu_q32, total_q, tq_p)
+    ka = token_aux(cu_k32, total_k, tk_p)
+    qa_rep = jnp.broadcast_to(qa[:, None], (tq_p, STAT))
+    ka_rows = jnp.broadcast_to(
+        ka.reshape(nk, 1, bk), (nk, STAT, bk)).reshape(nk, STAT, bk)
+
+    # dO . O rowsum preprocess (XLA fused reduction), packed layout
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1)                       # (total_q, h)
+    delta = jnp.swapaxes(delta, 0, 1)              # (h, total_q)
+
+    def pad_t(x, t):
+        return (jnp.pad(x, ((0, t - x.shape[0]), (0, 0), (0, 0)))
+                if x.shape[0] != t else x)
+
+    qT = jnp.swapaxes(pad_t(q, tq_p), 0, 1)        # (h, tq_p, d)
+    doT = jnp.swapaxes(pad_t(do, tq_p), 0, 1)
+    kT = jnp.swapaxes(pad_t(k, tk_p), 0, 1)
+    vT = jnp.swapaxes(pad_t(v, tk_p), 0, 1)
+    if folded:
+        # reproduce the forward's Q fold bit-for-bit; lse to log2 units
+        qT = (qT.astype(jnp.float32) * (scale * LOG2E)).astype(qT.dtype)
+        lse = lse * LOG2E
+    # pad rows: +inf lse -> p == 0; delta 0
+    lse_p = jnp.pad(lse, ((0, 0), (0, tq_p - total_q)),
+                    constant_values=jnp.inf) if tq_p != total_q else lse
+    delta_p = jnp.pad(delta, ((0, 0), (0, tq_p - total_q))) \
+        if tq_p != total_q else delta
+    lse_r = jnp.broadcast_to(lse_p[..., None], (h, tq_p, STAT))
+    delta_r = jnp.broadcast_to(delta_p[..., None], (h, tq_p, STAT))
+
+    nseq = int(cu_q32.shape[0]) - 1
+    T_pairs = min(
+        nq * nk,
+        _sched_t_max(nq, nk, causal, bq, bk, same_stream, nseq) + nk + nq)
+    ki_tab, qi_tab, gi_tab, fl_tab = build_varlen_bwd_schedule(
+        cu_q32, cu_k32, tq_p, tk_p, bq=bq, bk=bk, causal=causal,
+        window=window, g=g, T_max=T_pairs)
+    T = int(ki_tab.shape[0])
+
+    def q_map(hk_, i, ki_r, qi_r, gi_r, fl_r):
+        return (hk_ * g + gi_r[i], qi_r[i], 0)
+
+    def kv_map(hk_, i, ki_r, qi_r, gi_r, fl_r):
+        return (hk_, ki_r[i], 0)
+
+    def qa_map(hk_, i, ki_r, qi_r, gi_r, fl_r):
+        return (qi_r[i], 0)
+
+    def ka_map(hk_, i, ki_r, qi_r, gi_r, fl_r):
+        return (ki_r[i], 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, bq, d), q_map),
+        pl.BlockSpec((1, bk, d), kv_map),
+        pl.BlockSpec((1, bk, dv_dim), kv_map),
+        pl.BlockSpec((1, bq, dv_dim), q_map),
+        pl.BlockSpec((1, bq, STAT), q_map),
+        pl.BlockSpec((1, bq, STAT), q_map),
+        pl.BlockSpec((bq, STAT), qa_map),
+        pl.BlockSpec((1, STAT, bk), ka_map),
+    ]
+    inputs = [qT, kT, vT, doT, lse_r, delta_r, qa_rep, ka_rows]
+    if slopes is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(jnp.asarray(slopes, jnp.float32).reshape(h))
+    if dropout_p > 0.0:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(jnp.asarray(
+            0 if dropout_seed is None else dropout_seed, jnp.int32
+        ).reshape(1))
+
+    meta = (float(scale), bool(causal), int(window[0]), int(window[1]),
+            float(softcap), slopes is not None, g, bq, bk,
+            float(dropout_p), folded, nq)
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_varlen_bwd_kernel, meta),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(hk, T),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, bq, d), q_map),
+                pl.BlockSpec((1, bk, d), kv_map),
+                pl.BlockSpec((1, bk, dv_dim), kv_map),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((g * tq_p, d), jnp.float32),
+                pltpu.VMEM((bk, d), jnp.float32),
+                pltpu.VMEM((bk, dv_dim), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((h, tq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((hk, tk_p, d), k.dtype),
+            jax.ShapeDtypeStruct((hk, tk_p, dv_dim), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=use_interpret(),
+    )(ki_tab, qi_tab, gi_tab, fl_tab, *inputs)
+    dq = jnp.swapaxes(dq, 0, 1)[:total_q]
+    dk = jnp.swapaxes(dk, 0, 1)[:total_k]
+    dv = jnp.swapaxes(dv, 0, 1)[:total_k]
+    return dq, dk, dv
+
+
 @functools.partial(
     jax.custom_vjp,
     nondiff_argnums=(5, 6, 7, 8, 9, 10, 12, 13, 15),
@@ -481,12 +872,27 @@ def _sched_core_fwd(q, k, v, cu_q, cu_k, max_sq, max_sk, scale, causal,
 
 def _sched_core_bwd(max_sq, max_sk, scale, causal, window, softcap,
                     dropout_p, same_stream, blocks, res, do):
-    """Backward via the padded deterministic kernels: gather the packed
-    streams (and the packed-forward's o/lse) into (b, max_s) layout, run
-    `flash_attn_bwd_bhsd` with per-sequence seqused, scatter grads back."""
+    """Backward dispatch: first-class packed backward on the scheduled
+    grid when the whole-stream dQ accumulator fits VMEM; otherwise gather
+    the packed streams into (b, max_s) layout and run the dense
+    deterministic backward with per-sequence seqused."""
+    import os
+
     from flash_attn_tpu.kernels.flash_bwd import flash_attn_bwd_bhsd
 
     q, k, v, cu_q, cu_k, o, lse, slopes, dropout_seed = res
+    total_q_, h_, d_ = q.shape
+    g_ = h_ // k.shape[1]
+    bq_, bk_ = blocks[0], blocks[1]
+    tq_p_ = round_up(max(total_q_, bq_), bq_)
+    fits = g_ * tq_p_ * d_ * 4 <= _PACKED_BWD_DQ_LIMIT
+    if fits and os.environ.get("FLASH_ATTN_TPU_NO_PACKED_BWD") != "1":
+        gq, gk, gv = _varlen_sched_bwd(
+            q, k, v, do, o, lse, cu_q, cu_k, scale=scale, causal=causal,
+            window=window, softcap=softcap, slopes=slopes,
+            dropout_p=dropout_p, dropout_seed=dropout_seed,
+            same_stream=same_stream, bq=bq_, bk=bk_)
+        return gq, gk, gv, None, None, None, None
     total_q, h, d = q.shape
     total_k = k.shape[0]
     b = cu_q.shape[0] - 1

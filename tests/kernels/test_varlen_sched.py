@@ -316,3 +316,53 @@ def test_sched_dropout_grads():
     assert float(jnp.abs(o - o_ref).max()) < 2e-4
     for n, a, b in zip("qkv", grads, grads_ref):
         assert float(jnp.abs(a - b).max()) < 2e-3, n
+
+
+@pytest.mark.parametrize("case", ["gqa", "window", "dropout", "cross"])
+def test_packed_bwd_matches_padded(case, monkeypatch):
+    """First-class packed backward (`_varlen_sched_bwd`, the varlen
+    `run_mha_bwd` role, `csrc/flash_attn/flash_api.cpp:757`) must agree
+    with the padded-gather fallback backward it replaced — on TPU the
+    MHA cases match bitwise."""
+    import os
+
+    lens_q = [96, 40, 120]
+    lens_k = None
+    h, hk, d = 4, 4, 64
+    kw = dict(causal=True)
+    if case == "gqa":
+        h, hk = 8, 2
+    elif case == "window":
+        kw = dict(causal=False, window_size=(48, 16))
+    elif case == "dropout":
+        kw = dict(causal=True, dropout_p=0.25, dropout_seed=13)
+    elif case == "cross":
+        lens_k = [150, 64, 200]
+        kw = dict(causal=False)
+
+    rng = np.random.default_rng(17)
+    cu_q = jnp.asarray(np.cumsum([0] + lens_q), jnp.int32)
+    cu_k = (cu_q if lens_k is None
+            else jnp.asarray(np.cumsum([0] + lens_k), jnp.int32))
+    tq = sum(lens_q)
+    tk = tq if lens_k is None else sum(lens_k)
+    q = jnp.asarray(rng.standard_normal((tq, h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((tk, hk, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((tk, hk, d)), jnp.bfloat16)
+    do = jnp.asarray(rng.standard_normal((tq, h, d)), jnp.bfloat16)
+    mq = max(lens_q)
+    mk_ = mq if lens_k is None else max(lens_k)
+
+    def loss(q, k, v):
+        o = flash_attn_varlen_sched_func(
+            q, k, v, cu_q, cu_k, mq, mk_, **kw)
+        return jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32))
+
+    g_packed = jax.grad(loss, (0, 1, 2))(q, k, v)
+    monkeypatch.setenv("FLASH_ATTN_TPU_NO_PACKED_BWD", "1")
+    g_padded = jax.grad(loss, (0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_packed, g_padded):
+        delta = float(jnp.abs(a.astype(jnp.float32)
+                              - b.astype(jnp.float32)).max())
+        scale = float(jnp.abs(b.astype(jnp.float32)).max())
+        assert delta <= 0.02 * max(1.0, scale), (case, name, delta, scale)
