@@ -85,6 +85,12 @@ class OptimizerConfig:
     grad_clip: float = 1.0
     # ZeRO-style optimizer-state sharding over the data axis
     shard_optimizer_state: bool = False
+    # ZeRO stage: 0 = auto (1 if shard_optimizer_state else 0),
+    # 1 = shard adam moments over the data axis (`ddp_zero1.py`),
+    # 2 = additionally shard the fp32 gradient accumulator + optimizer
+    # math over the data axis via reduce-scatter, all-gathering params
+    # after the update (`training/src/utils/ddp_zero2.py` counterpart)
+    zero_stage: int = 0
 
 
 @dataclass
@@ -129,6 +135,10 @@ class MeshConfig:
     data: int = 1
     model: int = 1
     seq: int = 1
+    # multi-host: number of DCN (cross-host) slices of the data axis; the
+    # effective data-parallel degree is dcn_data * data.  model/seq stay
+    # inside each host's ICI domain (see parallel/mesh.make_hybrid_mesh).
+    dcn_data: int = 1
 
 
 @dataclass

@@ -40,13 +40,13 @@ class Trainer:
     def __init__(self, config: TrainConfig):
         self.config = config
         mc = config.mesh
-        n = mc.data * mc.model * mc.seq
-        devices = jax.devices()
-        assert n <= len(devices), f"mesh needs {n} devices, have {len(devices)}"
-        self.mesh = Mesh(
-            np.array(devices[:n]).reshape(mc.data, mc.model, mc.seq),
-            ("data", "model", "seq"),
-        )
+        n = getattr(mc, "dcn_data", 1) * mc.data * mc.model * mc.seq
+        from flash_attn_tpu.parallel.mesh import make_hybrid_mesh
+
+        # hybrid ICI x DCN mesh: data crosses hosts, model/seq stay on ICI
+        self.mesh = make_hybrid_mesh(
+            dcn_data=getattr(mc, "dcn_data", 1), data=mc.data,
+            model=mc.model, seq=mc.seq)
         self.multi = n > 1
 
         self.task = getattr(config.model, "task", "lm")
@@ -109,6 +109,10 @@ class Trainer:
         self._best_eval = float("inf")
         self._plateau_bad = 0
 
+        oc = config.optimizer
+        zero_stage = oc.zero_stage or (1 if oc.shard_optimizer_state else 0)
+        self._pspecs = None
+        self._gspecs = None  # ZeRO-2 grad/moment specs (None = off)
         if self.multi:
             if self.task == "image":
                 # ViT: data-parallel (replicated params); TP for ViT is an
@@ -118,7 +122,28 @@ class Trainer:
                 pspecs = gpt_partition_specs(self.params)
             put = lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s))
             self.params = jax.tree_util.tree_map(put, self.params, pspecs)
-            if config.optimizer.shard_optimizer_state:
+            self._pspecs = pspecs
+            ndata = self.mesh.shape["data"]
+            if zero_stage >= 2 and ndata > 1:
+                # ZeRO-2 (`training/src/utils/ddp_zero2.py` counterpart):
+                # grads, fp32 accumulator, and adam moments live sharded
+                # over the data axis — on the first dim the TP spec leaves
+                # free — so the grad reduction becomes a reduce-scatter and
+                # the optimizer pass touches only 1/ndata of each tensor.
+                def gspec(p, spec):
+                    parts = list(spec) + [None] * (p.ndim - len(spec))
+                    for i in range(p.ndim):
+                        if parts[i] is None and p.shape[i] % ndata == 0 \
+                                and p.shape[i] >= ndata:
+                            parts[i] = "data"
+                            break
+                    return P(*parts)
+                self._gspecs = jax.tree_util.tree_map(
+                    gspec, self.params, pspecs)
+                self.opt_state = optax.tree_map_params(
+                    self.tx, lambda x, s: put(x, s),
+                    self.opt_state, self._gspecs)
+            elif zero_stage >= 1:
                 # ZeRO-1: shard adam moments over the data axis on the
                 # largest dim (`ddp_zero1.py` counterpart)
                 def zspec(x):
@@ -185,9 +210,27 @@ class Trainer:
         ema_decay = self.config.trainer.ema_decay
         accum = max(1, self.config.trainer.accumulate_grad_batches)
 
+        # ZeRO-2 sharding trees (None = off): grads/accumulator/updates
+        # constrained to the data-sharded spec, params back to their own
+        is_p = lambda x: isinstance(x, P)
+        gshard = pshard = None
+        if self._gspecs is not None:
+            mesh = self.mesh
+            gshard = jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s), self._gspecs, is_leaf=is_p)
+            pshard = jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s), self._pspecs, is_leaf=is_p)
+
+        def rs_grads(grads):
+            # reduce-scatter point: the DP psum of the grads lands sharded
+            return (grads if gshard is None
+                    else jax.lax.with_sharding_constraint(grads, gshard))
+
         def grad_fn(params, batch, step):
             if accum == 1:
-                return jax.value_and_grad(train_loss)(params, batch, step)
+                loss, grads = jax.value_and_grad(train_loss)(
+                    params, batch, step)
+                return loss, rs_grads(grads)
             # micro-batch scan with an fp32 grad accumulator: one optimizer
             # update per `accum` micro-batches (Lightning
             # accumulate_grad_batches; amortises the HBM-bound adamw pass)
@@ -198,21 +241,27 @@ class Trainer:
                     params, mb, step * accum + i)
                 gacc = jax.tree_util.tree_map(
                     lambda a, g: a + g.astype(jnp.float32), gacc, grads)
-                return (loss_sum + loss, gacc), None
-            g0 = jax.tree_util.tree_map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), params)
+                return (loss_sum + loss, rs_grads(gacc)), None
+            g0 = rs_grads(jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), params))
             (loss_sum, gacc), _ = jax.lax.scan(
                 micro, (jnp.float32(0.0), g0),
                 (batch, jnp.arange(accum, dtype=jnp.int32)))
             grads = jax.tree_util.tree_map(
                 lambda g, p: (g / accum).astype(p.dtype), gacc, params)
-            return loss_sum / accum, grads
+            return loss_sum / accum, rs_grads(grads)
 
         @jax.jit
         def train_step(params, opt_state, ema_params, batch, step):
             loss, grads = grad_fn(params, batch, step)
             updates, opt_state = tx.update(grads, opt_state, params)
+            if gshard is not None:
+                # optimizer math stays on the shards; the all-gather back
+                # to the param sharding happens once, on the update
+                updates = jax.lax.with_sharding_constraint(updates, gshard)
             params = optax.apply_updates(params, updates)
+            if pshard is not None:
+                params = jax.lax.with_sharding_constraint(params, pshard)
             gnorm = optax.global_norm(grads)
             if ema_params is not None:
                 ema_params = ema_update(ema_params, params, ema_decay)
