@@ -24,6 +24,12 @@ def parse_overrides(kvs):
 
 
 def main(argv=None):
+    # multi-host bring-up must happen before any other JAX use (no-op
+    # when no coordinator is configured; see parallel/mesh.py)
+    from flash_attn_tpu.parallel.mesh import initialize_distributed
+
+    initialize_distributed()
+
     from flash_attn_tpu.training.config import load_config
     from flash_attn_tpu.training.trainer import train
 
