@@ -1,6 +1,10 @@
-"""Headline benchmark: BF16 flash-attention forward, hdim128 seq8k.
+"""Headline benchmark suite: every flagship path, one JSON line.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line.  The headline keys ({"metric", "value", "unit",
+"vs_baseline"}) carry the dense BF16 forward (hdim128 seq8k) as before;
+the "extras" dict regression-gates the other headline paths: causal fwd,
+causal fwd+bwd, decode tok/s (bf16 + int8 cache), and packed-varlen
+ragged fwd+bwd throughput.
 
 Baseline: the reference's flagship forward-kernel utilisation — FA3 reaches
 ~740 TFLOPs/s FP16 on H100 = 75% of the 989 TFLOPs/s peak (README.md:31-35;
@@ -21,6 +25,8 @@ def main():
     from flash_attn_tpu.utils.benchmark import (
         attention_flops,
         benchmark_attention_fwd,
+        benchmark_attention_fwd_bwd,
+        benchmark_chained,
     )
 
     if on_tpu:
@@ -37,17 +43,113 @@ def main():
     k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
     v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
 
+    reps = 7 if on_tpu else 1
+    agg = "min" if on_tpu else "median"
+
     dt = benchmark_attention_fwd(
         fa.flash_attn_func, q, k, v, causal=False, iters=iters,
-        reps=7 if on_tpu else 1, agg="min" if on_tpu else "median",
+        reps=reps, agg=agg,
     )
     tflops = attention_flops(b, s, s, h, d, False, "fwd") / dt / 1e12
     frac = tflops / peak_tflops
+
+    extras = {}
+
+    # --- causal forward (the training shape) ---
+    dt_c = benchmark_attention_fwd(
+        fa.flash_attn_func, q, k, v, causal=True, iters=iters,
+        reps=reps, agg=agg,
+    )
+    extras["causal_fwd_TFLOPs"] = round(
+        attention_flops(b, s, s, h, d, True, "fwd") / dt_c / 1e12, 1)
+
+    # --- causal fwd+bwd (the training step cost) ---
+    dt_fb = benchmark_attention_fwd_bwd(
+        fa.flash_attn_func, q, k, v, causal=True,
+        iters=max(iters // 2, 1), reps=max(reps - 2, 1), agg=agg,
+    )
+    extras["causal_fwd_bwd_TFLOPs"] = round(
+        attention_flops(b, s, s, h, d, True, "fwd_bwd") / dt_fb / 1e12, 1)
+
+    # --- paged GQA decode, bf16 and int8 caches (Llama-3-8B shapes) ---
+    hb, hkb, db, page = (32, 8, 128, 256) if on_tpu else (4, 2, 64, 64)
+    bd = 8 if on_tpu else 2
+    cache_len = 16384 if on_tpu else 256
+    npp = cache_len // page
+    kc = jnp.asarray(
+        rng.standard_normal((bd * npp, page, hkb, db)), jnp.bfloat16)
+    vc = jnp.asarray(
+        rng.standard_normal((bd * npp, page, hkb, db)), jnp.bfloat16)
+    table = jnp.arange(bd * npp, dtype=jnp.int32).reshape(bd, npp)
+    qd = jnp.asarray(rng.standard_normal((bd, 1, hb, db)), jnp.bfloat16)
+    lens = jnp.full((bd,), cache_len, jnp.int32)
+
+    def decode_step(q, kc, vc, **kw):
+        o = fa.flash_attn_with_kvcache(
+            q, kc, vc, cache_seqlens=lens, block_table=table, causal=True,
+            **kw)
+        return q + o.astype(q.dtype) * 1e-3
+
+    dt_dec = benchmark_chained(
+        decode_step, qd, kc, vc, iters=32 if on_tpu else 2,
+        reps=max(reps - 2, 1), agg=agg)
+    extras["decode_bf16_tok_s"] = round(bd / dt_dec, 0)
+
+    def quant(x):
+        # per-(sequence, kv-head) scales: pages i*npp..(i+1)*npp belong to
+        # sequence i (block_table is the identity layout above)
+        xs = x.reshape(bd, npp * page, hkb, db).astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xs), axis=(1, 3))            # (bd, hkb)
+        scale = jnp.maximum(amax, 1e-9) / 127.0
+        xq = jnp.clip(jnp.round(xs / scale[:, None, :, None]), -127, 127)
+        return xq.astype(jnp.int8).reshape(x.shape), scale
+
+    kq, kdsc = quant(kc)
+    vq, vdsc = quant(vc)
+    dt_dec8 = benchmark_chained(
+        lambda q, kq, vq: decode_step(q, kq, vq, k_descale=kdsc,
+                                      v_descale=vdsc),
+        qd, kq, vq, iters=32 if on_tpu else 2, reps=max(reps - 2, 1),
+        agg=agg)
+    extras["decode_int8_tok_s"] = round(bd / dt_dec8, 0)
+
+    # --- packed varlen ragged fwd+bwd (first-class varlen backward) ---
+    lens_r = ([8192] + [256] * 31) if on_tpu else [128, 64]
+    cu = jnp.asarray(np.cumsum([0] + lens_r), jnp.int32)
+    total = int(cu[-1])
+    hv = 16 if on_tpu else 2
+    qv_ = jnp.asarray(rng.standard_normal((total, hv, d)), jnp.bfloat16)
+    kv_ = jnp.asarray(rng.standard_normal((total, hv, d)), jnp.bfloat16)
+    vv_ = jnp.asarray(rng.standard_normal((total, hv, d)), jnp.bfloat16)
+    mx = max(lens_r)
+
+    def vl_loss(q, k, v):
+        o = fa.flash_attn_varlen_func(q, k, v, cu, cu, mx, mx, causal=True)
+        return jnp.sum(o.astype(jnp.float32))
+
+    vgrad = jax.grad(vl_loss, argnums=(0, 1, 2))
+
+    def vl_step(carry):
+        q, k, v = carry
+        dq, dk, dv = vgrad(q, k, v)
+        return (q + dq.astype(q.dtype) * 1e-3,
+                k + dk.astype(k.dtype) * 1e-3,
+                v + dv.astype(v.dtype) * 1e-3)
+
+    dt_vl = benchmark_chained(
+        vl_step, (qv_, kv_, vv_), iters=max(iters // 4, 1),
+        reps=max(reps - 4, 1), agg=agg)
+    vl_flops = sum(
+        attention_flops(1, L, L, hv, d, True, "fwd_bwd") for L in lens_r)
+    extras["varlen_ragged_fwd_bwd_TFLOPs"] = round(dt_vl and
+                                                   vl_flops / dt_vl / 1e12, 1)
+
     print(json.dumps({
         "metric": "flash_attn_fwd_bf16_hdim128_seq8k_TFLOPs",
         "value": round(tflops, 1),
         "unit": "TFLOP/s",
         "vs_baseline": round(frac / 0.75, 3),
+        "extras": extras,
     }))
 
 
