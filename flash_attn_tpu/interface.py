@@ -600,7 +600,10 @@ def _varlen_paged_prefill(
         src_row = jnp.clip(t + (max_seqlen_q - lens_q[:, None]),
                            0, max_seqlen_q - 1)
         lse_r = jnp.take_along_axis(lse, src_row[:, None, :], axis=2)
-        lse_r = jnp.where((t < lens_q[:, None])[:, None, :], lse_r, 0.0)
+        # padding rows carry +inf, matching the padded varlen path and the
+        # reference's fully-masked-row convention (flash_fwd.py:1098) —
+        # 0.0 is a legitimate LSE value and would break isinf detection
+        lse_r = jnp.where((t < lens_q[:, None])[:, None, :], lse_r, jnp.inf)
         return out, lse_r, None
     return out
 

@@ -3,6 +3,8 @@ path, the packed path's 16-bit position guard, and packed-vs-padded
 routing (model: reference varlen sweeps in `tests/test_flash_attn.py:1172`
 which include zero-length rows, plus the ADVICE round-1 findings)."""
 
+import math
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -143,7 +145,7 @@ def test_packed_matches_padded_on_ragged():
 
 
 @pytest.mark.parametrize("causal,softcap", [(True, 0.0), (False, 0.0),
-                                            (True, 30.0)])
+                                            (True, 30.0), (False, 30.0)])
 def test_varlen_paged_prefill(causal, softcap):
     """block_table in flash_attn_varlen_func (chunked prefill against a
     paged cache; reference `hopper/flash_api.cpp:673-707`, incl. softcap)."""
@@ -183,9 +185,13 @@ def test_varlen_paged_prefill(causal, softcap):
     assert out.shape == (total_q, h, d)
     assert lse.shape == (b, h, max(lens_q)) and s_dmask is None
     assert bool(jnp.all(jnp.isfinite(lse[0, :, : lens_q[0]])))
+    # padding rows carry the +inf sentinel (padded-path convention)
+    for i in range(b):
+        assert bool(jnp.all(jnp.isinf(lse[i, :, lens_q[i]:])))
 
     # oracle: per-sequence bottom-right-causal attention over the full keys
     cq = np.asarray(cu_q)
+    scale = 1.0 / math.sqrt(d)
     for i in range(b):
         qi = q[cq[i]:cq[i + 1]][None]
         ki = jnp.asarray(k_lin[i], jnp.bfloat16)[None]
@@ -195,3 +201,21 @@ def test_varlen_paged_prefill(causal, softcap):
                                   upcast=False, reorder_ops=True)
         check_close(out[cq[i]:cq[i + 1]], ref[0], ref_pt[0],
                     atol_floor=8e-3, label=f"seq{i}")
+        # LSE values against an fp32 oracle (guards the right-alignment
+        # gather: an off-by-one there shifts whole rows)
+        s = np.einsum(
+            "qhd,khd->hqk",
+            np.asarray(qi[0], np.float32),
+            np.asarray(ki[0], np.float32).repeat(h // hk, axis=1),
+        ) * scale
+        if softcap > 0.0:
+            s = np.tanh(s / softcap) * softcap
+        if causal:
+            row = np.arange(lens_q[i])[:, None] + lens_k[i] - lens_q[i]
+            col = np.arange(lens_k[i])[None, :]
+            s = np.where(col[None] > row[None], -np.inf, s)
+        m = s.max(axis=-1, keepdims=True)
+        ref_lse = (np.log(np.exp(s - m).sum(axis=-1)) + m[..., 0])
+        np.testing.assert_allclose(
+            np.asarray(lse[i, :, : lens_q[i]], np.float32), ref_lse,
+            atol=5e-2, rtol=1e-3, err_msg=f"lse seq{i}")
