@@ -692,12 +692,30 @@ def _build_schedule(p: FwdParams, nq: int, nk: int):
                 _SCHED_FIRST | _SCHED_LAST | _SCHED_EMPTY | _SCHED_INIT)
             continue
         ki_lo = max(ki_lo, 0)
+        diag_full = os.environ.get("FLASH_ATTN_TPU_SCHED_DIAG_FULL") == "1"
+        entries = []
         for ki in range(ki_lo, ki_hi + 1):
             grid = tuple(
                 row_codes(r0q + r * brs, r0q + (r + 1) * brs - 1, ki)
                 for r in range(nrsub))
+            if diag_full and any(2 in row for row in grid):
+                # A/B knob: run boundary tiles as ONE full-width masked
+                # matmul (static resident bias) instead of the staircase
+                # of row-group items — trades ~bk/2 wasted MXU columns for
+                # zero small-matmul/per-item softmax overhead.
+                grid = tuple(tuple([2] * nsub) for _ in range(nrsub))
+            entries.append((ki, grid))
+        if os.environ.get("FLASH_ATTN_TPU_SCHED_DIAG_LAST") != "1":
+            # boundary (masked) tiles first: the row's LAST tick — which
+            # carries the finalize (o/lse write for every head) — lands on
+            # a big mask-free interior tile whose straight-line MXU body
+            # hides the finalize VPU work, instead of serialising behind
+            # the diagonal staircase.  Online softmax is order-invariant.
+            entries.sort(key=lambda e: 0 if any(
+                2 in row for row in e[1]) else 1)
+        for n, (ki, grid) in enumerate(entries):
             fl = 0
-            if ki == ki_lo:
+            if n == 0:
                 fl |= _SCHED_FIRST
                 # fresh combo only if this tick touches every row group
                 # (it writes all scratch rows); otherwise zero-init
@@ -711,7 +729,7 @@ def _build_schedule(p: FwdParams, nq: int, nk: int):
             else:
                 fl |= combo_index((grid, False), qi, ki) \
                     << _SCHED_TYPE_SHIFT
-            if ki == ki_hi:
+            if n == len(entries) - 1:
                 fl |= _SCHED_LAST
             qi_tab.append(qi)
             ki_tab.append(ki)
