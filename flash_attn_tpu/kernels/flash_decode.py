@@ -1136,11 +1136,32 @@ def flash_attn_with_kvcache(
         # the returned caches keep the reference layout.  Scale default is
         # 1/sqrt(d+dv) (`hopper/flash_attn_interface.py:370`) — only when
         # the caller left softmax_scale unset.
-        if quant_cache:
-            raise NotImplementedError("qv with a quantised KV cache")
         if _scale_was_default:
             softmax_scale = 1.0 / math.sqrt(d + qv.shape[-1])
-        qd = jnp.concatenate([q, qv.astype(q.dtype)], axis=-1)
+        qv_eff = qv.astype(jnp.float32)
+        if quant_cache:
+            # Quantised cache (int8/fp8): the kernel applies ONE descale
+            # per (batch, kv head) after the fused [Q|Qv]·[Kc|Vc]ᵀ matmul
+            # (kd), so fold the V half's descale mismatch into Qv instead:
+            # Qv' = Qv * vd/kd gives Qv'·Vᵀ·kd == Qv·Vᵀ·vd.  The q-side
+            # int8 quantiser re-normalises per (b, h), so the rescale
+            # costs no range (MLA + quantised cache, the round-3 stub —
+            # reference path: `hopper/flash_api.cpp:673`).
+            hk_c = kc.shape[-2]
+            g_q = h // hk_c
+
+            def _ds(dsc):
+                if dsc is None:
+                    return jnp.ones((b, hk_c), jnp.float32)
+                return jnp.broadcast_to(
+                    jnp.asarray(dsc, jnp.float32).reshape(-1, hk_c),
+                    (b, hk_c))
+
+            ratio = _ds(v_descale) / jnp.maximum(_ds(k_descale), 1e-30)
+            ratio_h = jnp.repeat(ratio, g_q, axis=1)       # (b, h)
+            qv_eff = qv_eff * ratio_h[:, None, :, None]
+            v_descale = _ds(v_descale)  # PV side keeps its own descale
+        qd = jnp.concatenate([q, qv_eff.astype(q.dtype)], axis=-1)
         kcd = jnp.concatenate([kc, vc.astype(kc.dtype)], axis=-1)
 
     out, lse = decode_attn_ref_layout(

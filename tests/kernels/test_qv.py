@@ -138,3 +138,49 @@ def test_qv_kvcache():
         ref = _qv_ref(q[i:i + 1], kc[i:i + 1, :L], vc[i:i + 1, :L],
                       qv[i:i + 1], causal=True)[0]
         assert np.allclose(out[i], ref, atol=2e-2), f"batch {i}"
+
+
+def test_qv_kvcache_int8():
+    """MLA qv + quantised (int8) KV cache in one path (reference:
+    `hopper/flash_api.cpp:673` — qv through the same kvcache dispatch).
+    The V half's descale mismatch folds into Qv (see flash_decode.py);
+    oracle = dequantised-cache run of the same qv path."""
+    rng = np.random.default_rng(11)
+    b, sq, h, hk, d, smax = 2, 1, 8, 2, 64, 192
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.bfloat16)
+    kc = jnp.asarray(rng.standard_normal((b, smax, hk, d)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((b, smax, hk, d)), jnp.float32)
+    qv = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.bfloat16)
+    lens = jnp.asarray([67, 150], jnp.int32)
+
+    def quant(x, spread):
+        # deliberately different k/v magnitudes so kd != vd exercises the
+        # Qv rescale
+        x = x * spread
+        amax = jnp.max(jnp.abs(x), axis=(1, 3))
+        scale = jnp.maximum(amax, 1e-9) / 127.0
+        xq = jnp.clip(jnp.round(x / scale[:, None, :, None]),
+                      -127, 127).astype(jnp.int8)
+        return xq, scale.astype(jnp.float32)
+
+    # spread on K (not V): kd != vd exercises the Qv rescale without
+    # amplifying the PV probability-quantisation noise by |v|
+    kq, kd = quant(kc, 3.0)
+    vq, vd = quant(vc, 1.0)
+    out_i8 = flash_attn_with_kvcache(
+        q, kq, vq, cache_seqlens=lens, causal=True, qv=qv,
+        k_descale=kd, v_descale=vd)
+    kcd = (kq.astype(jnp.float32) * kd[:, None, :, None]).astype(jnp.bfloat16)
+    vcd = (vq.astype(jnp.float32) * vd[:, None, :, None]).astype(jnp.bfloat16)
+    out_ref = flash_attn_with_kvcache(
+        q, kcd, vcd, cache_seqlens=lens, causal=True, qv=qv)
+    err = float(jnp.abs(out_i8.astype(jnp.float32)
+                        - out_ref.astype(jnp.float32)).max())
+    assert err < 6e-2, err
+    # and against the fp32 un-fused oracle
+    for i in range(b):
+        L = int(lens[i])
+        ref = _qv_ref(q[i:i + 1], kcd[i:i + 1, :L], vcd[i:i + 1, :L],
+                      qv[i:i + 1], causal=True)[0]
+        assert np.allclose(np.asarray(out_i8, np.float32)[i], ref,
+                           atol=8e-2), f"batch {i}"
