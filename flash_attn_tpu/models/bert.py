@@ -100,12 +100,30 @@ class BertModel(nn.Module):
             self.pooler_dense = nn.Dense(c.hidden_size, dtype=self.dtype)
 
     def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
-                 position_ids=None, deterministic=True):
+                 position_ids=None, deterministic=True,
+                 unpad_varlen: bool = False):
+        """`unpad_varlen=True` runs the encoder on the packed
+        (total_nnz, d) token stream — the reference's unpad pipeline
+        (`bert.py:340` BertEncoder: unpad_input -> varlen attention ->
+        pad_input): MLP/LN do total-token work and attention rides the
+        scheduled packed kernel.  Needs a concrete (host) attention_mask;
+        padded rows of the output are zeros (as the reference's repad)."""
+        b, s = input_ids.shape
         h = self.embeddings(input_ids, token_type_ids, position_ids)
         mask = attention_mask.astype(bool) if attention_mask is not None else None
-        for layer in self.layers:
-            h, _ = layer(h, deterministic=deterministic,
-                         key_padding_mask=mask)
+        if unpad_varlen and mask is not None:
+            from flash_attn_tpu.utils.padding import pad_input, unpad_input
+
+            hp, indices, cu_seqlens, max_s, _ = unpad_input(h, mask)
+            hp = hp[None]  # (1, total_nnz, d) — packed stream
+            for layer in self.layers:
+                hp, _ = layer(hp, deterministic=deterministic,
+                              cu_seqlens=cu_seqlens, max_seqlen=max_s)
+            h = pad_input(hp[0], indices, b, s)
+        else:
+            for layer in self.layers:
+                h, _ = layer(h, deterministic=deterministic,
+                             key_padding_mask=mask)
         pooled = None
         if self.add_pooling_layer:
             pooled = jnp.tanh(self.pooler_dense(h[:, 0]))

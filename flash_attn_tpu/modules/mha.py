@@ -186,7 +186,8 @@ class MHA(nn.Module):
 
     @nn.compact
     def __call__(self, x, x_kv=None, inference_params=None,
-                 key_padding_mask=None, deterministic=True):
+                 key_padding_mask=None, deterministic=True,
+                 cu_seqlens=None, max_seqlen=None):
         h, hk, d = self._heads()
         b, s, _ = x.shape
         scale = self.softmax_scale or 1.0 / math.sqrt(d)
@@ -229,7 +230,25 @@ class MHA(nn.Module):
                                      self.rotary_emb_interleaved)
                 k = apply_rotary_emb(k, rotary._cos, rotary._sin,
                                      self.rotary_emb_interleaved)
-            if self.use_flash_attn and key_padding_mask is not None:
+            if self.use_flash_attn and cu_seqlens is not None:
+                # packed-stream varlen (the reference MHA's
+                # cu_seqlens/unpadded form, `modules/mha.py` varlen path):
+                # x is (1, total_nnz, d), attention rides the scheduled
+                # packed kernel — total-token work, no padding FLOPs
+                from flash_attn_tpu import flash_attn_varlen_func
+
+                qp = q.reshape(b * s, h, d)
+                kp = k.reshape(b * s, hk, d)
+                vp = v.reshape(b * s, hk, d)
+                ctx = flash_attn_varlen_func(
+                    qp, kp, vp, cu_seqlens, cu_seqlens,
+                    max_seqlen, max_seqlen,
+                    dropout_p=0.0 if deterministic else self.dropout,
+                    softmax_scale=scale, causal=self.causal,
+                    window_size=self.window_size, softcap=self.softcap,
+                    alibi_slopes=alibi[0] if alibi is not None else None,
+                ).reshape(b, s, h, d)
+            elif self.use_flash_attn and key_padding_mask is not None:
                 # prefix padding masks (the BERT/varlen case) map onto the
                 # kernel's per-batch seqused lengths; outputs in padded rows
                 # are zeroed like `attention_ref` does.
