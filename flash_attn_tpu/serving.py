@@ -76,6 +76,9 @@ class ServingEngine:
         rng: Optional[jax.Array] = None,
         mesh=None,
         data_axis: str = "data",
+        apply_fn_draft: Optional[Callable] = None,
+        params_draft=None,
+        speculative_lookahead: int = 3,
     ):
         # Multi-host serving (the north-star "continuous batching of decode
         # requests across hosts"): pass a Mesh and the decode batch — every
@@ -118,6 +121,23 @@ class ServingEngine:
         self._decode_chunk_jit = None
         self._insert_jit = None
 
+        # --- speculative decoding (draft + verify inside the engine;
+        # extends the reference's b=1 `decode_speculative`,
+        # `utils/generation.py:269`, to the continuous batch).  Greedy
+        # verification is exact, so spec chunks run only when every
+        # active request is greedy (top_k == 1); otherwise the normal
+        # chunk path takes over.
+        self.draft = None
+        if apply_fn_draft is not None:
+            assert params_draft is not None
+            assert chunk_steps >= speculative_lookahead + 1, (
+                "chunk_steps must cover one speculative round")
+            self.draft = (apply_fn_draft, params_draft)
+            self.spec_lookahead = int(speculative_lookahead)
+        self.cache_draft: Optional[InferenceParams] = None
+        self._prefill_draft_jit = {}
+        self._spec_chunk_jit = None
+
     # ------------------------------------------------------------------ API
 
     def submit(self, prompt, max_new_tokens=64, eos_token_id=None,
@@ -158,7 +178,9 @@ class ServingEngine:
                 continue
             req = self.pending.pop(0)
             L = len(req.prompt)
-            if L + req.max_new_tokens + self.chunk_steps >= self.max_seqlen:
+            margin = self.chunk_steps + (
+                self.spec_lookahead + 1 if self.draft is not None else 0)
+            if L + req.max_new_tokens + margin >= self.max_seqlen:
                 raise ValueError("request cannot fit max_seqlen")
             self.slots[i] = req
             wave.append((i, req))
@@ -211,6 +233,30 @@ class ServingEngine:
             )
             self._finish_prefill(slot, req, kv_small, logits_all[r:r + 1])
 
+        if self.draft is not None:
+            # the draft model prefills the same wave so its cache mirrors
+            # the committed prefix (minus the trailing last-token)
+            if key not in self._prefill_draft_jit:
+                afd, _ = self.draft
+
+                def prefill_d(params_d, toks):
+                    ip = InferenceParams(
+                        max_seqlen=self.max_seqlen,
+                        max_batch_size=toks.shape[0],
+                        lengths_per_sample=jnp.zeros(
+                            (toks.shape[0],), jnp.int32),
+                    )
+                    out = afd(params_d, toks, ip)
+                    return out.inference_params.key_value_memory_dict
+
+                self._prefill_draft_jit[key] = jax.jit(prefill_d)
+            kv_rows_d = self._prefill_draft_jit[key](
+                self.draft[1], jnp.asarray(tokens))
+            for r, (slot, _req) in enumerate(wave):
+                kv_small_d = jax.tree_util.tree_map(
+                    lambda x, r=r: x[r:r + 1], kv_rows_d)
+                self._insert_draft_row(slot, kv_small_d)
+
     def _finish_prefill(self, slot, req, kv_small, logits):
         L = len(req.prompt)
 
@@ -252,6 +298,26 @@ class ServingEngine:
         req.output.append(tok0)
         self.stats.generated_tokens += 1
 
+    def _insert_draft_row(self, slot, kv_small_d):
+        if self.cache_draft is None:
+            def alloc(x):
+                z = jnp.zeros((self.max_batch,) + x.shape[1:], x.dtype)
+                return self._shard_batch(z)
+
+            kv_big = {
+                li: tuple(alloc(x) for x in kv)
+                for li, kv in kv_small_d.items()
+            }
+            self.cache_draft = InferenceParams(
+                max_seqlen=self.max_seqlen, max_batch_size=self.max_batch,
+                lengths_per_sample=self.lengths,
+                key_value_memory_dict=kv_big,
+            )
+        kv = self._insert_jit(
+            self.cache_draft.key_value_memory_dict, kv_small_d, slot)
+        self.cache_draft = self.cache_draft.replace(
+            key_value_memory_dict=kv)
+
     def _shard_batch(self, x):
         """Place a leading-batch array sharded over the data axis."""
         if self.mesh is None:
@@ -268,6 +334,10 @@ class ServingEngine:
     def _decode_chunk(self):
         if not any(self.active):
             return
+        if self.draft is not None and all(
+                self._top_k[i] == 1
+                for i in range(self.max_batch) if self.active[i]):
+            return self._decode_chunk_spec()
         if self._decode_chunk_jit is None:
             K = self.chunk_steps
 
@@ -328,6 +398,111 @@ class ServingEngine:
                         or len(req.output) >= req.max_new_tokens):
                     req.done = True
                     break
+
+    def _decode_chunk_spec(self):
+        """Speculative chunk: R rounds of draft-propose (L tokens) +
+        one-shot target verify, batched over the slots.  Greedy
+        acceptance is exact, so outputs are identical to the normal
+        greedy chunk.  Caches rewind by LENGTH only — rejected rows are
+        overwritten by the next round's writes (functional caches; the
+        same rewind scheme as `utils/generation.py:decode_speculative`).
+
+        Cache invariant at every round start: both caches hold every
+        committed token except the trailing `last` (count == lengths).
+        The draft loop runs L+1 steps — the extra step absorbs its own
+        last proposal so the invariant survives full acceptance."""
+        L = self.spec_lookahead
+        if self._spec_chunk_jit is None:
+            R = max(1, self.chunk_steps // (L + 1))
+            afd, _ = self.draft
+
+            def chunk(params, params_d, kv, kv_d, last, lengths, active):
+                def greedy(logits):
+                    return jnp.argmax(
+                        logits.astype(jnp.float32), -1).astype(jnp.int32)
+
+                def round_fn(carry, _):
+                    kv, kv_d, last, lengths = carry
+                    # --- draft proposes L tokens (plus one absorb step)
+                    dl = lengths
+                    cur = last
+                    drafts = []
+                    for i in range(L + 1):
+                        ip_d = InferenceParams(
+                            max_seqlen=self.max_seqlen,
+                            max_batch_size=self.max_batch,
+                            lengths_per_sample=dl,
+                            key_value_memory_dict=kv_d,
+                        )
+                        out_d = afd(params_d, cur[:, None], ip_d)
+                        kv_d = out_d.inference_params.key_value_memory_dict
+                        dl = dl + 1
+                        cur = greedy(out_d.logits[:, -1])
+                        if i < L:
+                            drafts.append(cur)
+                    drafts = jnp.stack(drafts, 1)            # (b, L)
+                    # --- target verifies [last | drafts] in ONE forward
+                    toks = jnp.concatenate([last[:, None], drafts], 1)
+                    ip = InferenceParams(
+                        max_seqlen=self.max_seqlen,
+                        max_batch_size=self.max_batch,
+                        lengths_per_sample=lengths,
+                        key_value_memory_dict=kv,
+                    )
+                    out = self.apply_fn(params, toks, ip)
+                    kv = out.inference_params.key_value_memory_dict
+                    g = greedy(out.logits)                   # (b, L+1)
+                    ok = (drafts == g[:, :-1]).astype(jnp.int32)
+                    na = jnp.sum(jnp.cumprod(ok, axis=1), axis=1)  # (b,)
+                    commit = jnp.where(active, na + 1, 0)
+                    new_last = jnp.where(
+                        active, jnp.take_along_axis(
+                            g, na[:, None], axis=1)[:, 0], last)
+                    lengths = lengths + commit
+                    emitted = jnp.where(
+                        (jnp.arange(L + 1)[None, :] <= na[:, None])
+                        & active[:, None], g, -1)
+                    return (kv, kv_d, new_last, lengths), (emitted, commit)
+
+                (kv, kv_d, last, lengths), (toks, counts) = jax.lax.scan(
+                    round_fn, (kv, kv_d, last, lengths), None, length=R)
+                return kv, kv_d, last, lengths, toks, counts
+
+            self._spec_chunk_jit = jax.jit(chunk, donate_argnums=(2, 3))
+            self._spec_rounds = R
+
+        kv, kv_d, last, lengths, toks, counts = self._spec_chunk_jit(
+            self.params, self.draft[1],
+            self.cache.key_value_memory_dict,
+            self.cache_draft.key_value_memory_dict,
+            self._shard_batch(self.last_tokens),
+            self._shard_batch(self.lengths),
+            self._shard_batch(jnp.asarray(self.active)),
+        )
+        self.cache = self.cache.replace(key_value_memory_dict=kv)
+        self.cache_draft = self.cache_draft.replace(
+            key_value_memory_dict=kv_d)
+        self.last_tokens = last
+        self.lengths = lengths
+        self.stats.decode_steps += self._spec_rounds
+
+        toks_host = np.asarray(toks)      # (R, B, L+1)
+        counts_host = np.asarray(counts)  # (R, B)
+        for i in range(self.max_batch):
+            req = self.slots[i]
+            if req is None or not self.active[i]:
+                continue
+            for r in range(toks_host.shape[0]):
+                if req.done:
+                    break
+                for t in toks_host[r, i, : counts_host[r, i]]:
+                    req.output.append(int(t))
+                    self.stats.generated_tokens += 1
+                    if ((req.eos_token_id is not None
+                         and int(t) == req.eos_token_id)
+                            or len(req.output) >= req.max_new_tokens):
+                        req.done = True
+                        break
 
     def _retire(self):
         retired = []

@@ -112,3 +112,43 @@ def test_serving_over_data_mesh():
     with mesh:
         sharded = run(mesh)
     assert sharded == ref
+
+
+def test_speculative_serving_matches_greedy():
+    """Draft+verify inside the continuous-batching engine (round-3 gap:
+    speculative was batch-1-only and never integrated with serving).
+    Greedy acceptance is exact, so tokens must be IDENTICAL to the
+    non-speculative engine — for a well-matched draft (same model) and a
+    mismatched one (different init, mostly rejected)."""
+    model, params = make_model()
+    apply_fn = lambda p, x, ip: model.apply(p, x, inference_params=ip)
+
+    # a differently-initialised draft: proposals mostly rejected
+    ids0 = jnp.asarray(
+        np.random.default_rng(0).integers(0, 311, (1, 16)), jnp.int32)
+    params_draft_bad = model.init(jax.random.PRNGKey(7), ids0)
+
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(0, 311, (n,)).astype(np.int32)
+               for n in (7, 19, 12)]
+    max_new = [6, 9, 11]
+
+    eng0 = ServingEngine(apply_fn, params, max_batch=2, max_seqlen=128,
+                         chunk_steps=4, prefill_buckets=(16, 32))
+    uids0 = [eng0.submit(p, max_new_tokens=mn)
+             for p, mn in zip(prompts, max_new)]
+    expected = eng0.run()
+
+    for draft_params in (params, params_draft_bad):
+        eng = ServingEngine(
+            apply_fn, params, max_batch=2, max_seqlen=128, chunk_steps=4,
+            prefill_buckets=(16, 32),
+            apply_fn_draft=apply_fn, params_draft=draft_params,
+            speculative_lookahead=3,
+        )
+        uids = [eng.submit(p, max_new_tokens=mn)
+                for p, mn in zip(prompts, max_new)]
+        results = eng.run()
+        assert eng.stats.finished == len(prompts)
+        for u0, u in zip(uids0, uids):
+            assert results[u] == expected[u0], (results[u], expected[u0])
