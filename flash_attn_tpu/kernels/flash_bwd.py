@@ -477,9 +477,14 @@ def _bwd_fused_kernel(p: BwdParams, nq: int, sq_ref, sk_ref, *refs):
             b, hk_i, ki, qi, gi, dq_off, sq_b, sk_b, masked=True,
         )
 
-    # Always write the current dq slab for (gi, qi): the write at the last
-    # kv pass (ki == nk-1) is the complete value and wins.
-    dq_ref[0, 0] = dq_all[pl.dslice(dq_off, bq), :].astype(dq_ref.dtype)
+    # Write the dq slab only on the LAST kv pass (the accumulator is
+    # complete there).  The out index map parks every earlier tick on the
+    # first real target, so Pallas coalesces them into one run and copies
+    # the buffer out exactly once per (head, q block) — removing the
+    # ~nk x dq HBM write amplification of the old write-every-tick form.
+    @pl.when(ki == pl.num_programs(2) - 1)
+    def _flush_dq():
+        dq_ref[0, 0] = dq_all[pl.dslice(dq_off, bq), :].astype(dq_ref.dtype)
 
     @pl.when(t == nt - 1)
     def _finalize():
@@ -513,8 +518,14 @@ def _bwd_fused(p, q, k, v, do, lse_r, delta_r, slopes, seed,
         return (b_, hk_ * g + gi, qi_eff, 0)
 
     def dq_out_map(b_, hk_, ki, t, *_):
-        # unclamped: every step writes its own (head, q block) tile
-        return (b_, hk_ * g + t % g, t // g, 0)
+        # park every pre-final kv pass on the first real target: Pallas
+        # coalesces the constant-index run into ONE output copy, and the
+        # (ki == nk-1, t == 0) tick — same index — writes the real slab
+        # before the run ends, so no garbage is ever copied (see the
+        # kernel's _flush_dq)
+        real = ki == nk - 1
+        return (b_, jnp.where(real, hk_ * g + t % g, hk_ * g),
+                jnp.where(real, t // g, 0), 0)
 
     def kv_map(b_, hk_, ki, t, *_):
         return (b_, hk_, ki, 0)
@@ -574,6 +585,7 @@ _BWDS_FIRST = 2     # first entry of this kv block: zero dK/dV accumulators
 _BWDS_LAST = 4      # last entry of this kv block: flush dK/dV
 _BWDS_BOUNDARY = 8  # tile needs the elementwise mask
 _BWDS_COMPUTE = 16  # run the compute body (filler entries omit it)
+_BWDS_DQFLUSH = 32  # last visit of this (q block, head): write the dq slab
 
 
 def _build_bwd_schedule(p: BwdParams, sq: int, sk: int, nq: int, nk: int):
@@ -589,7 +601,7 @@ def _build_bwd_schedule(p: BwdParams, sq: int, sk: int, nq: int, nk: int):
     entries are ordered ki-ascending, so the LAST scheduled visit of any q
     block carries the completed accumulator slab and its dq write wins.
 
-    Returns (ki_tab, t_tab, fl_tab) int32 arrays; t = qi * g + gi.
+    Returns (ki_tab, t_tab, fl_tab, dqo_tab) int32 arrays; t = qi * g + gi.
     """
     import numpy as np
 
@@ -639,12 +651,28 @@ def _build_bwd_schedule(p: BwdParams, sq: int, sk: int, nq: int, nk: int):
                 t_tab.append(qi * g + gi)
                 fl_tab.append(0)
     fl_tab[0] |= _BWDS_INIT
+    # dq flush points: the LAST visit of each (q block, group head) has the
+    # completed accumulator slab.  dqo_tab carries the NEXT flush's t value
+    # backward, so the dq out-block index is constant between flushes and
+    # Pallas copies each slab out exactly once (write-every-tick caused a
+    # ~(#visits)x dq HBM write amplification).
+    last_of = {}
+    for i, t in enumerate(t_tab):
+        last_of[t] = i
+    for i in last_of.values():
+        fl_tab[i] |= _BWDS_DQFLUSH
+    dqo_tab = np.zeros(len(t_tab), np.int32)
+    nxt = t_tab[-1]
+    for i in range(len(t_tab) - 1, -1, -1):
+        if fl_tab[i] & _BWDS_DQFLUSH:
+            nxt = t_tab[i]
+        dqo_tab[i] = nxt
     return (np.asarray(ki_tab, np.int32), np.asarray(t_tab, np.int32),
-            np.asarray(fl_tab, np.int32))
+            np.asarray(fl_tab, np.int32), dqo_tab)
 
 
 def _bwd_fused_sched_kernel(p: BwdParams, nq: int, sq: int, sk: int,
-                            ki_ref, t_ref, fl_ref, *refs):
+                            ki_ref, t_ref, fl_ref, dqo_ref, *refs):
     """Scheduled-grid fused backward: grid (b, hk, T) walking host-built
     (kv block, q block x group) tables — zero wasted ticks under
     causal/local masks, and interior ticks run the mask-free body."""
@@ -693,9 +721,12 @@ def _bwd_fused_sched_kernel(p: BwdParams, nq: int, sq: int, sk: int,
     def _boundary():
         body(True)
 
-    # every tick writes its (gi, qi) slab; the last visit's write is the
-    # completed value and wins (earlier ones are dead stores)
-    dq_ref[0, 0] = dq_all[pl.dslice(dq_off, bq), :].astype(dq_ref.dtype)
+    # write the dq slab only at the (gi, qi)'s LAST visit; the out index
+    # map (dqo_tab) parks intermediate ticks on the upcoming flush target
+    # so the buffer is copied out exactly once per slab
+    @pl.when((fl & _BWDS_DQFLUSH) != 0)
+    def _flush_dq():
+        dq_ref[0, 0] = dq_all[pl.dslice(dq_off, bq), :].astype(dq_ref.dtype)
 
     @pl.when((fl & _BWDS_LAST) != 0)
     def _finalize():
@@ -715,14 +746,19 @@ def _bwd_fused_sched(p, q, k, v, do, lse_r, delta_r, slopes, seed,
     bq, bk = p.block_q, p.block_k
     nq = sq_p // bq
     nk = sk_p // bk
-    ki_tab, t_tab, fl_tab = _build_bwd_schedule(p, sq, sk, nq, nk)
+    ki_tab, t_tab, fl_tab, dqo_tab = _build_bwd_schedule(p, sq, sk, nq, nk)
     T = len(ki_tab)
 
-    def qhead_map(b_, hk_, i, ki_r, t_r, fl_r):
+    def qhead_map(b_, hk_, i, ki_r, t_r, fl_r, dqo_r):
         t = t_r[i]
         return (b_, hk_ * g + t % g, t // g, 0)
 
-    def kv_map(b_, hk_, i, ki_r, t_r, fl_r):
+    def dq_out_map(b_, hk_, i, ki_r, t_r, fl_r, dqo_r):
+        # constant between dq flushes (see _build_bwd_schedule.dqo_tab)
+        t = dqo_r[i]
+        return (b_, hk_ * g + t % g, t // g, 0)
+
+    def kv_map(b_, hk_, i, ki_r, t_r, fl_r, dqo_r):
         return (b_, hk_, ki_r[i], 0)
 
     in_specs = [
@@ -744,11 +780,11 @@ def _bwd_fused_sched(p, q, k, v, do, lse_r, delta_r, slopes, seed,
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_fused_sched_kernel, p, nq, sq, sk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(b, hk, T),
             in_specs=in_specs,
             out_specs=[
-                pl.BlockSpec((1, 1, bq, d), qhead_map),
+                pl.BlockSpec((1, 1, bq, d), dq_out_map),
                 pl.BlockSpec((1, 1, bk, d), kv_map),
                 pl.BlockSpec((1, 1, bk, dv_dim), kv_map),
             ],
@@ -768,7 +804,7 @@ def _bwd_fused_sched(p, q, k, v, do, lse_r, delta_r, slopes, seed,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=use_interpret(),
-    )(ki_tab, t_tab, fl_tab, *inputs)
+    )(ki_tab, t_tab, fl_tab, dqo_tab, *inputs)
     return dq[:, :, :sq, :], dk[:, :, :sk, :], dv[:, :, :sk, :]
 
 
@@ -811,6 +847,12 @@ def flash_attn_bwd_bhsd(
     dv_dim = v.shape[-1]  # may differ from d (MLA shapes, FA3 hdim_v)
     g = h // hk
 
+    # one-sided window normalisation (reference `flash_api.cpp:141-142`;
+    # see flash_attn_fwd_bhsd)
+    if window_size[0] >= 0 and window_size[1] < 0:
+        window_size = (window_size[0], sk)
+    elif window_size[1] >= 0 and window_size[0] < 0 and not causal:
+        window_size = (sk, window_size[1])
     boundary_heavy = causal or window_size[0] >= 0 or window_size[1] >= 0
     bs = bwd_block_sizes(sq, sk, d, boundary_heavy=boundary_heavy)
     bq = block_q or bs.block_q_dq

@@ -1178,6 +1178,13 @@ def flash_attn_fwd_bhsd(
     fp8 = jnp.issubdtype(q.dtype, jnp.floating) and q.dtype.itemsize == 1
     out_dtype = jnp.bfloat16 if fp8 else q.dtype
 
+    # one-sided window: the unbounded side becomes seqlen_k (reference
+    # `flash_api.cpp:141-142`) — NOT fully unbounded: with sq > sk the
+    # normalised right bound (row + sk - sq + sk) still bites
+    if window_size[0] >= 0 and window_size[1] < 0:
+        window_size = (window_size[0], sk)
+    elif window_size[1] >= 0 and window_size[0] < 0 and not causal:
+        window_size = (sk, window_size[1])
     boundary_heavy = causal or window_size[0] >= 0 or window_size[1] >= 0
     # Dense fast path (see FwdParams.pipelined): masks reduce to the static
     # key-padding tail, so predication disappears and the head loop
@@ -1210,7 +1217,9 @@ def flash_attn_fwd_bhsd(
         bk = min(cap, max(128, round_up(sk, 128)))
         bks = bk
         if boundary_heavy and bk >= 512:
-            bks = 256
+            # bk is always a multiple of 128 but not necessarily of 256
+            # (e.g. sk 800 -> bk 896): fall back to 128-wide subtiles
+            bks = 256 if bk % 256 == 0 else 128
     # Q-row compute subtile (scheduled grid only; see FwdParams)
     brs = block_q_sub or 0
     if not brs and pipelined and boundary_heavy and block_q_sub is None \

@@ -436,6 +436,7 @@ _BV_FIRST = 2     # first entry of this kv block: zero dK/dV accumulators
 _BV_LAST = 4      # last entry of this kv block: flush dK/dV
 _BV_BOUND = 8     # tile needs the elementwise mask
 _BV_COMPUTE = 16  # run the compute body
+_BV_DQFLUSH = 32  # last visit of this (q block, head): write the dq slab
 
 # dQ scratch ceiling: g * total_q_p * d * 4 bytes must fit VMEM alongside
 # the working tiles (mirrors flash_bwd._FUSED_DQ_SCRATCH_LIMIT).
@@ -544,6 +545,14 @@ def build_varlen_bwd_schedule(
     idx = jnp.maximum(idx, 0)
     qi_tab, ki_tab = qi_tab[idx], ki_tab[idx]
 
+    # dq flush = last visit of each q block (tail padding entries carry the
+    # last valid qi with compute off, so flushing there writes the same
+    # completed slab)
+    pos = jnp.arange(T_max, dtype=jnp.int32)
+    last_pos = jax.ops.segment_max(pos, qi_tab, num_segments=nq)
+    flush = pos == last_pos[qi_tab]
+    fl_tab = jnp.where(flush, fl_tab | _BV_DQFLUSH, fl_tab)
+
     # expand by the GQA group: FIRST/INIT only at gi == 0, LAST at g - 1
     fl_tab = fl_tab.at[0].set(fl_tab[0] | _BV_INIT)
     qi_g = jnp.repeat(qi_tab, g)
@@ -552,10 +561,20 @@ def build_varlen_bwd_schedule(
     fl_g = jnp.repeat(fl_tab, g)
     fl_g = jnp.where(gi_g == 0, fl_g, fl_g & ~(_BV_FIRST | _BV_INIT))
     fl_g = jnp.where(gi_g == g - 1, fl_g, fl_g & ~_BV_LAST)
-    return ki_g, qi_g, gi_g, fl_g
+    # carry the NEXT dq flush's (qi, gi) backward: the dq out-block index
+    # is constant between flushes, so Pallas copies each completed slab
+    # out exactly once (see flash_bwd._build_bwd_schedule dqo_tab)
+    Tg = T_max * g
+    posg = jnp.arange(Tg, dtype=jnp.int32)
+    flushg = (fl_g & _BV_DQFLUSH) != 0
+    nf = jnp.flip(jax.lax.cummin(
+        jnp.flip(jnp.where(flushg, posg, jnp.int32(Tg - 1)))))
+    dqo_g = qi_g[nf] * g + gi_g[nf]
+    return ki_g, qi_g, gi_g, fl_g, dqo_g
 
 
-def _varlen_bwd_kernel(meta, ki_ref, qi_ref, gi_ref, fl_ref, *refs):
+def _varlen_bwd_kernel(meta, ki_ref, qi_ref, gi_ref, fl_ref, dqo_ref,
+                       *refs):
     """Grid (hk, T*g).  One (kv block, q block, group head) tile per tick:
     recompute S from the packed streams + aux-word mask, 5 matmuls
     (S, dV += P^T dO, dP = dO V^T, dK += dS^T Q, dQ += dS K)."""
@@ -670,9 +689,12 @@ def _varlen_bwd_kernel(meta, ki_ref, qi_ref, gi_ref, fl_ref, *refs):
     def _boundary():
         body(True)
 
-    # every tick writes its (gi, qi) slab; the last visit's write carries
-    # the completed accumulation and wins (earlier ones are dead stores)
-    dq_ref[0] = dq_all[pl.dslice(dq_off, bq), :].astype(dq_ref.dtype)
+    # write the dq slab only at the (gi, qi)'s last visit; the out index
+    # map parks intermediate ticks on the upcoming flush target so each
+    # completed slab is copied out exactly once
+    @pl.when((fl & _BV_DQFLUSH) != 0)
+    def _flush_dq():
+        dq_ref[0] = dq_all[pl.dslice(dq_off, bq), :].astype(dq_ref.dtype)
 
     @pl.when((fl & _BV_LAST) != 0)
     def _finalize():
@@ -736,21 +758,25 @@ def _varlen_sched_bwd(
     T_pairs = min(
         nq * nk,
         _sched_t_max(nq, nk, causal, bq, bk, same_stream, nseq) + nk + nq)
-    ki_tab, qi_tab, gi_tab, fl_tab = build_varlen_bwd_schedule(
+    ki_tab, qi_tab, gi_tab, fl_tab, dqo_tab = build_varlen_bwd_schedule(
         cu_q32, cu_k32, tq_p, tk_p, bq=bq, bk=bk, causal=causal,
         window=window, g=g, T_max=T_pairs)
     T = int(ki_tab.shape[0])
 
-    def q_map(hk_, i, ki_r, qi_r, gi_r, fl_r):
+    def q_map(hk_, i, ki_r, qi_r, gi_r, fl_r, dqo_r):
         return (hk_ * g + gi_r[i], qi_r[i], 0)
 
-    def kv_map(hk_, i, ki_r, qi_r, gi_r, fl_r):
+    def dq_out_map(hk_, i, ki_r, qi_r, gi_r, fl_r, dqo_r):
+        t = dqo_r[i]
+        return (hk_ * g + t % g, t // g, 0)
+
+    def kv_map(hk_, i, ki_r, qi_r, gi_r, fl_r, dqo_r):
         return (hk_, ki_r[i], 0)
 
-    def qa_map(hk_, i, ki_r, qi_r, gi_r, fl_r):
+    def qa_map(hk_, i, ki_r, qi_r, gi_r, fl_r, dqo_r):
         return (qi_r[i], 0)
 
-    def ka_map(hk_, i, ki_r, qi_r, gi_r, fl_r):
+    def ka_map(hk_, i, ki_r, qi_r, gi_r, fl_r, dqo_r):
         return (ki_r[i], 0, 0)
 
     in_specs = [
@@ -780,11 +806,11 @@ def _varlen_sched_bwd(
     dq, dk, dv = pl.pallas_call(
         functools.partial(_varlen_bwd_kernel, meta),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=(hk, T),
             in_specs=in_specs,
             out_specs=[
-                pl.BlockSpec((1, bq, d), q_map),
+                pl.BlockSpec((1, bq, d), dq_out_map),
                 pl.BlockSpec((1, bk, d), kv_map),
                 pl.BlockSpec((1, bk, dv_dim), kv_map),
             ],
@@ -804,7 +830,7 @@ def _varlen_sched_bwd(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=use_interpret(),
-    )(ki_tab, qi_tab, gi_tab, fl_tab, *inputs)
+    )(ki_tab, qi_tab, gi_tab, fl_tab, dqo_tab, *inputs)
     dq = jnp.swapaxes(dq, 0, 1)[:total_q]
     dk = jnp.swapaxes(dk, 0, 1)[:total_k]
     dv = jnp.swapaxes(dv, 0, 1)[:total_k]
@@ -960,6 +986,11 @@ def flash_attn_varlen_sched_func(
     total_q, h, d = q.shape
     if softmax_scale is None:
         softmax_scale = 1.0 / math.sqrt(d)
+    # one-sided window normalisation (reference `flash_api.cpp:141-142`)
+    if window_size[0] >= 0 and window_size[1] < 0:
+        window_size = (window_size[0], int(max_seqlen_k))
+    elif window_size[1] >= 0 and window_size[0] < 0 and not causal:
+        window_size = (int(max_seqlen_k), window_size[1])
     for name, ms in (("q", max_seqlen_q), ("k", max_seqlen_k)):
         if ms is not None and int(ms) > _POS_MASK:
             raise ValueError(

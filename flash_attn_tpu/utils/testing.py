@@ -53,6 +53,13 @@ def construct_local_mask(
     key_leftpad=None,
 ):
     """True where masked OUT.  Bottom-right aligned (reference semantics)."""
+    # the reference C++ API normalises a one-sided window to unbounded on
+    # the -1 side (`flash_api.cpp:141-142`); its python test oracle never
+    # sees that case, so normalise here to match the kernels
+    if window_size[0] >= 0 and window_size[1] < 0:
+        window_size = (window_size[0], seqlen_k)
+    elif window_size[1] >= 0 and window_size[0] < 0:
+        window_size = (seqlen_k, window_size[1])
     row_idx = jnp.arange(seqlen_q, dtype=jnp.int32)[:, None]
     col_idx = jnp.arange(seqlen_k, dtype=jnp.int32)
     if key_leftpad is not None:

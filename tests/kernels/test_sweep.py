@@ -37,6 +37,14 @@ SEQLEN_PAIRS = [
     (2048, 2048),
 ]
 
+# heavy pairs carry the slow marker so the smoke tier (-m 'not slow')
+# stays fast while the full suite keeps reference density
+PAIR_PARAMS = [
+    pytest.param(sq, sk, marks=pytest.mark.slow)
+    if max(sq, sk) >= 768 else (sq, sk)
+    for sq, sk in SEQLEN_PAIRS
+]
+
 
 def _mk(sq, sk, h, hk, d, dtype, seed):
     rng = np.random.default_rng(seed)
@@ -61,20 +69,23 @@ def _check_fwd_bwd(q, k, v, **kw):
         return lambda q, k, v: jnp.sum(
             fn(q, k, v, **kw).astype(jnp.float32) * do.astype(jnp.float32))
 
-    g = jax.grad(lf(flash_attn_func), (0, 1, 2))(q, k, v)
-    g_ref = jax.grad(lf(lambda *a, **k2: attention_ref(*a, **k2)[0]),
-                     (0, 1, 2))(q, k, v)
-    g_pt = jax.grad(
+    # jit the grad graphs: on the CPU test backend compiled execution is
+    # several times faster than eager dispatch, which keeps the wide
+    # reference-density sweep affordable
+    g = jax.jit(jax.grad(lf(flash_attn_func), (0, 1, 2)))(q, k, v)
+    g_ref = jax.jit(jax.grad(
+        lf(lambda *a, **k2: attention_ref(*a, **k2)[0]), (0, 1, 2)))(q, k, v)
+    g_pt = jax.jit(jax.grad(
         lf(lambda *a, **k2: attention_ref(
             *a, upcast=False, reorder_ops=True, **k2)[0]),
-        (0, 1, 2))(q, k, v)
+        (0, 1, 2)))(q, k, v)
     for name, a, r, p in zip("qkv", g, g_ref, g_pt):
         check_close(a, r, p, label=f"d{name}")
 
 
 @pytest.mark.parametrize("mha_type", ["mha", "gqa"])
 @pytest.mark.parametrize("causal", [False, True])
-@pytest.mark.parametrize("sq,sk", SEQLEN_PAIRS)
+@pytest.mark.parametrize("sq,sk", PAIR_PARAMS)
 def test_fwd_bwd_seqlen_sweep(sq, sk, causal, mha_type):
     """fwd+bwd over the reference's full pair list (the repo previously
     swept 9 pairs forward-only — VERDICT r3 missing #4)."""
@@ -84,7 +95,7 @@ def test_fwd_bwd_seqlen_sweep(sq, sk, causal, mha_type):
 
 
 @pytest.mark.parametrize("dtype", ["bfloat16", "float32"])
-@pytest.mark.parametrize("sq,sk", SEQLEN_PAIRS[::3])
+@pytest.mark.parametrize("sq,sk", PAIR_PARAMS[::3])
 def test_fwd_bwd_dtype_sweep(sq, sk, dtype):
     q, k, v = _mk(sq, sk, 2, 2, 64, getattr(jnp, dtype), sq + sk)
     _check_fwd_bwd(q, k, v, causal=True)
@@ -179,7 +190,7 @@ def test_kvcache_seqlen_sweep(sq, sk, num_splits, mha_type):
 
 
 @pytest.mark.parametrize("causal", [False, True])
-@pytest.mark.parametrize("sq,sk", SEQLEN_PAIRS[::2])
+@pytest.mark.parametrize("sq,sk", PAIR_PARAMS[::2])
 def test_varlen_seqlen_sweep(sq, sk, causal):
     """Packed varlen fwd+bwd over the reference pair list: each pair
     becomes a 2-sequence ragged batch through the scheduled kernel and
@@ -233,13 +244,45 @@ def test_varlen_seqlen_sweep(sq, sk, causal):
 @pytest.mark.parametrize("sq,sk", [(113, 203), (128, 217), (256, 512),
                                    (512, 256), (1024, 1024), (239, 1)])
 def test_alibi_seqlen_sweep(sq, sk, causal):
-    """ALiBi over the reference pairs (`test_flash_attn.py` alibi axis),
-    fwd+bwd."""
+    """ALiBi over the reference pairs (`test_flash_attn.py` alibi axis):
+    the oracle takes the slopes as an additive attn_bias (the reference's
+    `attn_bias_from_alibi_slopes` role), matching the kernel's
+    -slope * |i + (sk - sq) - j| formula."""
     h = 2
     rng = np.random.default_rng(3)
     slopes = jnp.asarray(rng.uniform(0.01, 0.3, h), jnp.float32)
     q, k, v = _mk(sq, sk, h, h, 64, jnp.bfloat16, sq + 2 * sk)
-    _check_fwd_bwd(q, k, v, causal=causal, alibi_slopes=slopes)
+    off = sk - sq
+    dist = np.abs(np.arange(sq)[:, None] + off - np.arange(sk)[None, :])
+    bias = jnp.asarray(
+        -np.asarray(slopes)[None, :, None, None] * dist[None, None],
+        jnp.float32)
+    do = jnp.asarray(
+        np.random.default_rng(99).standard_normal(q.shape), q.dtype)
+    out = flash_attn_func(q, k, v, causal=causal, alibi_slopes=slopes)
+    out_ref, _ = attention_ref(q, k, v, attn_bias=bias, causal=causal)
+    out_pt, _ = attention_ref(q, k, v, attn_bias=bias, causal=causal,
+                              upcast=False, reorder_ops=True)
+    check_close(out, out_ref, out_pt, label="out")
+
+    def lf(fn):
+        return lambda q, k, v: jnp.sum(
+            fn(q, k, v).astype(jnp.float32) * do.astype(jnp.float32))
+
+    g = jax.jit(jax.grad(lf(
+        lambda q, k, v: flash_attn_func(
+            q, k, v, causal=causal, alibi_slopes=slopes)), (0, 1, 2)))(
+        q, k, v)
+    g_ref = jax.jit(jax.grad(lf(
+        lambda q, k, v: attention_ref(
+            q, k, v, attn_bias=bias, causal=causal)[0]), (0, 1, 2)))(
+        q, k, v)
+    g_pt = jax.jit(jax.grad(lf(
+        lambda q, k, v: attention_ref(
+            q, k, v, attn_bias=bias, causal=causal, upcast=False,
+            reorder_ops=True)[0]), (0, 1, 2)))(q, k, v)
+    for name, a, r, p in zip("qkv", g, g_ref, g_pt):
+        check_close(a, r, p, label=f"d{name}")
 
 
 @pytest.mark.parametrize("packed", ["qkv", "kv"])
