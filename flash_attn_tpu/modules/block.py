@@ -48,6 +48,10 @@ class Block(nn.Module):
     prenorm: bool = True
     resid_dropout1: float = 0.0
     resid_dropout2: float = 0.0
+    # stochastic depth on the residual branches (timm ViT drop_path role,
+    # reference `create_block:262` drop_path1/drop_path2)
+    drop_path1: float = 0.0
+    drop_path2: float = 0.0
     residual_in_fp32: bool = False
     rms_norm: bool = False
     norm_eps: float = 1e-5
@@ -70,10 +74,22 @@ class Block(nn.Module):
                 x, rng=self.make_rng("dropout")
             )
 
+        def drop_path(x, rate):
+            if rate == 0.0 or deterministic:
+                return x
+            import jax
+
+            keep = jax.random.bernoulli(
+                self.make_rng("dropout"), 1.0 - rate,
+                (x.shape[0],) + (1,) * (x.ndim - 1))
+            return jnp.where(keep, x / (1.0 - rate), 0.0)
+
         if self.prenorm:
-            # residual = drop(h) + residual ; h = norm1(residual)
+            # residual = drop_path(drop(h)) + residual ; h = norm1(residual)
             res_dtype = jnp.float32 if self.residual_in_fp32 else hidden_states.dtype
-            d1 = dropped(hidden_states, self.resid_dropout1, "dropout")
+            d1 = drop_path(
+                dropped(hidden_states, self.resid_dropout1, "dropout"),
+                self.drop_path1)
             residual = (
                 d1.astype(res_dtype)
                 if residual is None
@@ -86,7 +102,8 @@ class Block(nn.Module):
                 )
             else:
                 h = mixer(h, deterministic=deterministic, **mixer_kwargs)
-            d2 = dropped(h, self.resid_dropout2, "dropout")
+            d2 = drop_path(dropped(h, self.resid_dropout2, "dropout"),
+                           self.drop_path2)
             residual = d2.astype(res_dtype) + residual
             h = norm2(residual.astype(self.dtype))
             h = mlp(h)

@@ -26,6 +26,14 @@ def gelu_approx(x):
     return out.astype(x.dtype)
 
 
+def gelu_exact(x):
+    """erf-form GELU (HF transformers' "gelu"; timm ViT default)."""
+    import jax
+
+    return jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(
+        x.dtype)
+
+
 def sqrelu_fwd(x):
     """Squared-ReLU (`activations.py:96`)."""
     r = jax.nn.relu(x)
