@@ -69,12 +69,13 @@ def fwd_block_sizes(
 def bwd_block_sizes(
     seqlen_q: int, seqlen_k: int, head_dim: int, boundary_heavy: bool = False
 ) -> BwdBlockSizes:
-    # v5e sweep (fwd+bwd, hdim128 seq8k): dense prefers a 2048-wide KV tile
-    # in the bwd kernels; causal/local now prefer square 1024 tiles (round-3
-    # re-sweep after the fwd row-subtile work: 137-142 TF/s fwd+bwd at
-    # 1024/1024 vs 133 at the old 1024/512 — fewer, fuller boundary tiles).
+    # v5e sweep (fwd+bwd, hdim128 seq8k): a 2048-wide KV tile wins in the
+    # bwd kernels for dense AND (round 4) causal/local — per-tick overhead
+    # is ~29% of a 1024x1024 tile's matmul time, so fewer/wider ticks win
+    # once the scheduled kernel's static subtile combos skip the
+    # masked-out halves of diagonal tiles (`_bwd_static_patterns`).
     if head_dim <= 128:
-        bq, bk = (1024, 1024) if boundary_heavy else (1024, 2048)
+        bq, bk = 1024, 2048
     else:
         bq, bk = 512, 512
     bq = min(bq, max(128, round_up(seqlen_q, 128)))

@@ -41,6 +41,7 @@ from flash_attn_tpu.kernels.block_sizes import bwd_block_sizes, round_up
 from flash_attn_tpu.kernels.flash_fwd import (
     LOG2E,
     MASK_VALUE,
+    _SCHED_BIAS,
     FwdParams,
     _kv_block_bounds,
     dropout_keep,
@@ -422,6 +423,87 @@ def _fused_tile_body(p: BwdParams, q_ref, k_ref, v_ref, do_ref, lse_ref,
     )
 
 
+def _fused_tile_static_body(p: BwdParams, q_ref, k_ref, v_ref, do_ref,
+                            lse_ref, delta_ref, dq_all, dk_acc, dv_acc,
+                            dq_off, codes, bias_refs):
+    """Static-combo variant of `_fused_tile_body` for boundary ticks whose
+    mask geometry is compile-time (see `_bwd_static_patterns`): the tile is
+    walked in subtiles — fully-masked subtiles are skipped entirely (no
+    matmuls), partially-masked ones add a VMEM-resident bias pattern
+    instead of computing iota/compare/where, interior ones run mask-free.
+    Only reachable with no alibi/dropout/attention_chunk."""
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    lse_col = lse_ref[0, 0][:, :1]
+    delta_col = delta_ref[0, 0][:, :1]
+    fr, fc = len(codes), len(codes[0])
+    brq, brk = p.block_q // fr, p.block_k // fc
+    for ri in range(fr):
+        qs = q[ri * brq:(ri + 1) * brq]
+        dos = do[ri * brq:(ri + 1) * brq]
+        lse_row = lse_col[ri * brq:(ri + 1) * brq]
+        delta_row = delta_col[ri * brq:(ri + 1) * brq]
+        # coalesce runs of adjacent interior subtiles into one wider
+        # matmul — per-dot overhead (~0.1us) dominates at 512-wide ops
+        runs = []
+        ci = 0
+        while ci < fc:
+            code = codes[ri][ci]
+            if code == 1:
+                w = 1
+                while ci + w < fc and codes[ri][ci + w] == 1:
+                    w += 1
+                runs.append((ci, w, 1))
+                ci += w
+            else:
+                if code != 0:
+                    runs.append((ci, 1, code))
+                ci += 1
+        for ci, w, code in runs:
+            ks = k[ci * brk:(ci + w) * brk]
+            vs = v[ci * brk:(ci + w) * brk]
+            s = jax.lax.dot_general(
+                qs, ks, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s_cap = None
+            if not p.folded:
+                s = s * p.scale
+                if p.softcap > 0.0:
+                    s_cap = jnp.tanh(s / p.softcap) * p.softcap
+                    s = s_cap
+            if code >= 2:
+                s = s + bias_refs[code - 2][...]
+            pmat = jnp.exp2(s - lse_row) if p.folded else (
+                jnp.exp2((s - lse_row) * LOG2E))
+            dv_acc[pl.dslice(ci * brk, w * brk), :] += jax.lax.dot_general(
+                pmat.astype(dos.dtype), dos, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                dos, vs, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = pmat * (dp - delta_row)
+            if p.softcap > 0.0:
+                ds = ds * (1.0 - (s_cap / p.softcap) ** 2)
+            if not p.folded:
+                ds = ds * p.scale
+            ds_lp = ds.astype(qs.dtype)
+            dk_acc[pl.dslice(ci * brk, w * brk), :] += jax.lax.dot_general(
+                ds_lp, qs, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            k_dq = ks * jnp.asarray(p.scale, ks.dtype) if p.folded else ks
+            dq_all[pl.dslice(dq_off + ri * brq, brq), :] += (
+                jax.lax.dot_general(
+                    ds_lp, k_dq, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ))
+
+
 def _bwd_fused_kernel(p: BwdParams, nq: int, sq_ref, sk_ref, *refs):
     """Single-pass backward: dK/dV stationary per kv block (as
     `_bwd_dkv_kernel`) plus a whole-head dQ accumulator in VMEM scratch,
@@ -667,20 +749,119 @@ def _build_bwd_schedule(p: BwdParams, sq: int, sk: int, nq: int, nk: int):
         if fl_tab[i] & _BWDS_DQFLUSH:
             nxt = t_tab[i]
         dqo_tab[i] = nxt
+    pm_tab, combos, biases = _bwd_static_patterns(
+        p, sq, sk, ki_tab, t_tab, fl_tab)
     return (np.asarray(ki_tab, np.int32), np.asarray(t_tab, np.int32),
-            np.asarray(fl_tab, np.int32), dqo_tab)
+            np.asarray(fl_tab, np.int32), dqo_tab, pm_tab, combos, biases)
+
+
+def _bwd_static_patterns(p: BwdParams, sq: int, sk: int,
+                         ki_tab, t_tab, fl_tab):
+    """Classify boundary ticks whose mask is a compile-time constant.
+
+    A boundary tick fully inside the key range depends only on
+    rel = (col origin - row origin) - (sk - sq): every causal diagonal
+    tile shares one rel.  Such ticks get a *static combo*: the (bq, bk)
+    mask is split into subtiles, each classified skip / interior /
+    masked-with-resident-bias — the backward twin of the forward's
+    `_static_bias_patterns` + subtile combos.  The 5-matmul body then
+    skips the fully-masked subtile of the diagonal (25% of its FLOPs at
+    2x2) and replaces the iota/compare/where mask (5 VPU passes over the
+    f32 score tile) with one additive bias from a VMEM-resident pattern.
+
+    Rows past sq need no mask: padded LSE is +inf so p == 0 there.
+
+    Returns (pm_tab, combos, biases): pm_tab[i] = 0 (dynamic) or combo
+    index + 1; combos = tuple of subtile-code grids (0 skip, 1 interior,
+    j >= 2 masked with biases[j - 2]); biases = list of f32 arrays.
+    """
+    import numpy as np
+
+    n = len(ki_tab)
+    pm_tab = np.zeros(n, np.int32)
+    static_ok = (p.attention_chunk == 0 and not p.has_alibi
+                 and p.dropout_p == 0.0
+                 and os.environ.get("FLASH_ATTN_TPU_BWD_STATIC") != "0")
+    if not static_ok:
+        return pm_tab, (), []
+    bq, bk, g = p.block_q, p.block_k, p.g
+    # Subtile granularity: 512x512 is the swept optimum (256 halves the
+    # MXU tiles' M/N and loses more to per-dot overhead than the extra
+    # skipped FLOPs recover; 1024 skips too coarsely).  Env override keeps
+    # the legacy "split each dim in SUB" semantics for sweeps.
+    sub = int(os.environ.get("FLASH_ATTN_TPU_BWD_STATIC_SUB", "0"))
+    if sub:
+        fr = sub if sub > 1 and bq % sub == 0 and (bq // sub) % 256 == 0 \
+            else 1
+        fc = sub if sub > 1 and bk % sub == 0 and (bk // sub) % 128 == 0 \
+            else 1
+    else:
+        sr = int(os.environ.get("FLASH_ATTN_TPU_BWD_STATIC_SR", "512"))
+        sc = int(os.environ.get("FLASH_ATTN_TPU_BWD_STATIC_SC", "512"))
+        fr = bq // sr if bq % sr == 0 else 1
+        fc = bk // sc if bk % sc == 0 else 1
+    brq, brk = bq // fr, bk // fc
+    off = sk - sq
+    rel_combo: dict = {}
+    combos: list = []
+    biases: list = []
+    bias_keys: dict = {}
+    for i in range(n):
+        if not (fl_tab[i] & _BWDS_COMPUTE) or not (fl_tab[i] & _BWDS_BOUNDARY):
+            continue
+        ki = int(ki_tab[i])
+        qi = int(t_tab[i]) // g
+        if (ki + 1) * bk > sk:
+            continue  # key-range end mask is dynamic
+        rel = ki * bk - qi * bq - off
+        if rel not in rel_combo:
+            if len(combos) >= 4:
+                continue  # pattern budget: keep the rest dynamic
+            rows = np.arange(bq)[:, None]
+            cols = rel + np.arange(bk)[None, :]
+            mask = np.zeros((bq, bk), bool)
+            if p.has_upper:
+                mask |= cols > rows + p.wr
+            if p.has_lower:
+                mask |= cols < rows - p.window_left
+            grid = []
+            for ri in range(fr):
+                row = []
+                for ci in range(fc):
+                    m = mask[ri * brq:(ri + 1) * brq,
+                             ci * brk:(ci + 1) * brk]
+                    if m.all():
+                        row.append(0)
+                    elif not m.any():
+                        row.append(1)
+                    else:
+                        key = m.tobytes()
+                        if key not in bias_keys:
+                            bias_keys[key] = len(biases)
+                            biases.append(np.where(
+                                m, _SCHED_BIAS, 0.0).astype(np.float32))
+                        row.append(2 + bias_keys[key])
+                grid.append(tuple(row))
+            rel_combo[rel] = len(combos)
+            combos.append(tuple(grid))
+        pm_tab[i] = rel_combo[rel] + 1
+    return pm_tab, tuple(combos), biases
 
 
 def _bwd_fused_sched_kernel(p: BwdParams, nq: int, sq: int, sk: int,
-                            ki_ref, t_ref, fl_ref, dqo_ref, *refs):
+                            combos, n_bias: int,
+                            ki_ref, t_ref, fl_ref, dqo_ref, pm_ref, *refs):
     """Scheduled-grid fused backward: grid (b, hk, T) walking host-built
     (kv block, q block x group) tables — zero wasted ticks under
-    causal/local masks, and interior ticks run the mask-free body."""
+    causal/local masks, interior ticks run the mask-free body, and
+    static-geometry boundary ticks (pm > 0) run per-combo subtile bodies
+    with resident bias patterns (see `_bwd_static_patterns`)."""
     refs = list(refs)
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = refs[:6]
     refs = refs[6:]
     slopes_ref = refs.pop(0) if p.has_alibi else None
     seed_ref = refs.pop(0) if p.dropout_p > 0.0 else None
+    bias_refs = [refs.pop(0) for _ in range(n_bias)]
     dq_ref, dk_ref, dv_ref, dq_all, dk_acc, dv_acc = refs
 
     b = pl.program_id(0)
@@ -690,6 +871,7 @@ def _bwd_fused_sched_kernel(p: BwdParams, nq: int, sq: int, sk: int,
     ki = ki_ref[i]
     t = t_ref[i]
     fl = fl_ref[i]
+    pm = pm_ref[i]
     qi = t // p.g
     gi = t % p.g
     dq_off = (gi * nq + qi) * bq
@@ -717,9 +899,18 @@ def _bwd_fused_sched_kernel(p: BwdParams, nq: int, sq: int, sk: int,
     def _interior():
         body(False)
 
-    @pl.when(jnp.logical_and(compute, boundary))
+    @pl.when(jnp.logical_and(compute,
+                             jnp.logical_and(boundary, pm == 0)))
     def _boundary():
         body(True)
+
+    for pi, codes in enumerate(combos):
+        @pl.when(jnp.logical_and(compute, pm == pi + 1))
+        def _static(codes=codes):
+            _fused_tile_static_body(
+                p, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dq_all, dk_acc, dv_acc, dq_off, codes, bias_refs,
+            )
 
     # write the dq slab only at the (gi, qi)'s LAST visit; the out index
     # map (dqo_tab) parks intermediate ticks on the upcoming flush target
@@ -746,20 +937,24 @@ def _bwd_fused_sched(p, q, k, v, do, lse_r, delta_r, slopes, seed,
     bq, bk = p.block_q, p.block_k
     nq = sq_p // bq
     nk = sk_p // bk
-    ki_tab, t_tab, fl_tab, dqo_tab = _build_bwd_schedule(p, sq, sk, nq, nk)
+    (ki_tab, t_tab, fl_tab, dqo_tab, pm_tab, combos,
+     bias_arrays) = _build_bwd_schedule(p, sq, sk, nq, nk)
     T = len(ki_tab)
 
-    def qhead_map(b_, hk_, i, ki_r, t_r, fl_r, dqo_r):
+    def qhead_map(b_, hk_, i, ki_r, t_r, fl_r, dqo_r, pm_r):
         t = t_r[i]
         return (b_, hk_ * g + t % g, t // g, 0)
 
-    def dq_out_map(b_, hk_, i, ki_r, t_r, fl_r, dqo_r):
+    def dq_out_map(b_, hk_, i, ki_r, t_r, fl_r, dqo_r, pm_r):
         # constant between dq flushes (see _build_bwd_schedule.dqo_tab)
         t = dqo_r[i]
         return (b_, hk_ * g + t % g, t // g, 0)
 
-    def kv_map(b_, hk_, i, ki_r, t_r, fl_r, dqo_r):
+    def kv_map(b_, hk_, i, ki_r, t_r, fl_r, dqo_r, pm_r):
         return (b_, hk_, ki_r[i], 0)
+
+    def const_map(*_):
+        return (0, 0)
 
     in_specs = [
         pl.BlockSpec((1, 1, bq, d), qhead_map),
@@ -776,11 +971,16 @@ def _bwd_fused_sched(p, q, k, v, do, lse_r, delta_r, slopes, seed,
     if p.dropout_p > 0.0:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(seed)
+    for arr in bias_arrays:
+        # resident mask-bias patterns: constant index map, fetched once
+        in_specs.append(pl.BlockSpec(arr.shape, const_map))
+        inputs.append(jnp.asarray(arr))
 
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_fused_sched_kernel, p, nq, sq, sk),
+        functools.partial(_bwd_fused_sched_kernel, p, nq, sq, sk,
+                          combos, len(bias_arrays)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=(b, hk, T),
             in_specs=in_specs,
             out_specs=[
@@ -804,7 +1004,7 @@ def _bwd_fused_sched(p, q, k, v, do, lse_r, delta_r, slopes, seed,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=use_interpret(),
-    )(ki_tab, t_tab, fl_tab, dqo_tab, *inputs)
+    )(ki_tab, t_tab, fl_tab, dqo_tab, pm_tab, *inputs)
     return dq[:, :, :sq, :], dk[:, :, :sk, :], dv[:, :, :sk, :]
 
 
