@@ -17,6 +17,8 @@ from flash_attn_tpu.interface import (
     flash_attn_varlen_kvpacked_func,
     flash_attn_varlen_qkvpacked_func,
     flash_attn_with_kvcache,
+    fuse_kv_cache,
+    split_kv_cache,
 )
 from flash_attn_tpu.kernels.flex import (
     BlockMask,
@@ -34,6 +36,8 @@ __all__ = [
     "flash_attn_varlen_kvpacked_func",
     "flash_attn_varlen_qkvpacked_func",
     "flash_attn_with_kvcache",
+    "fuse_kv_cache",
+    "split_kv_cache",
     "BlockMask",
     "create_block_mask",
     "flex_attention",

@@ -40,6 +40,8 @@ __all__ = [
     "flash_attn_varlen_qkvpacked_func",
     "flash_attn_varlen_kvpacked_func",
     "flash_attn_with_kvcache",
+    "fuse_kv_cache",
+    "split_kv_cache",
 ]
 
 
@@ -660,6 +662,21 @@ def flash_attn_with_kvcache(*args, **kwargs):
     from flash_attn_tpu.kernels.flash_decode import flash_attn_with_kvcache as f
 
     return f(*args, **kwargs)
+
+
+def fuse_kv_cache(k_cache, v_cache):
+    """Pack paged K/V caches into the fused (npages, 2, page, hk, d)
+    layout (one DMA per page covering K and V; TPU extension)."""
+    from flash_attn_tpu.kernels.flash_decode import fuse_kv_cache as f
+
+    return f(k_cache, v_cache)
+
+
+def split_kv_cache(kv_cache):
+    """Inverse of `fuse_kv_cache`."""
+    from flash_attn_tpu.kernels.flash_decode import split_kv_cache as f
+
+    return f(kv_cache)
 
 
 def flash_attn_combine(out_partial, lse_partial, out=None, out_dtype=None):

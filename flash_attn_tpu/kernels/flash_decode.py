@@ -45,6 +45,10 @@ _INT8_CAST = _os.environ.get("FLASH_ATTN_TPU_INT8_CAST", "") == "1"
 # 1 = keep native int8 QK^T but cast the V slab to bf16 and run PV in
 # bf16 (skips the probability-tile int8 quantisation).
 _INT8_PV_CAST = _os.environ.get("FLASH_ATTN_TPU_INT8_PV", "") == "1"
+# Diagnostic: skip the attention math, only touch the KV slabs (isolates
+# DMA/grid cost from compute cost; output is garbage).
+_DECODE_NOCOMPUTE = _os.environ.get(
+    "FLASH_ATTN_TPU_DECODE_NOCOMPUTE", "") == "1"
 
 from flash_attn_tpu.kernels.block_sizes import cdiv, round_up
 from flash_attn_tpu.kernels.combine import combine_attn_partials
@@ -84,6 +88,18 @@ class DecodeParams:
     # bandwidth on the table; the bundle is the Pallas analogue of the
     # reference's multi-page loads in `paged_kv.h`).
     bundle: int = 1
+    # Fused KV pages (npages, 2, page, hk, d): K and V of a page live in
+    # ONE contiguous slab, so each page costs ONE DMA of 2x the bytes.
+    fused: bool = False
+    # Vectorised-over-heads page processing: ONE masked online-softmax
+    # update on the (hk*rows, bk) score tile per page instead of hk
+    # serial (rows, bk) updates.  At small pages the per-(head, page)
+    # VPU-chain overhead — not DMA — is what caps streaming (compute-
+    # ablated kernel reaches 817 GB/s at page 256 where the per-head
+    # kernel decodes at ~420), so collapsing hk updates into one wide
+    # pass is the lever.  Gated off for alibi and for large score tiles
+    # (vreg pressure), where the per-head loop is already DMA-bound.
+    wide: bool = False
 
     @property
     def wr(self) -> int:
@@ -406,9 +422,14 @@ def _decode_ref_kernel(p: DecodeParams, hk: int, *args):
     F = p.bundle
     rest = list(rest)
     q_ref = rest[0]
-    k_refs = rest[1:1 + F]
-    v_refs = rest[1 + F:1 + 2 * F]
-    rest = rest[1 + 2 * F:]
+    if p.fused:
+        kv_refs = rest[1:1 + F]
+        k_refs = v_refs = None
+        rest = rest[1 + F:]
+    else:
+        k_refs = rest[1:1 + F]
+        v_refs = rest[1 + F:1 + 2 * F]
+        rest = rest[1 + 2 * F:]
     slopes_ref = rest.pop(0) if p.has_alibi else None
     qs_ref = None
     if p.fp8_kv:
@@ -445,7 +466,116 @@ def _decode_ref_kernel(p: DecodeParams, hk: int, *args):
         kg_min = min_col // bk
     kg_max = (len_b - 1) // bk
 
-    def _compute(kg, k_ref, v_ref):
+    def _compute_wide(kg, kraw, vraw):
+        """One online-softmax update for ALL kv heads of a page.
+
+        The score tile is (hk*rows, bk) — heads stacked on sublanes — so
+        the mask/softmax/state RMW chain runs once per page instead of hk
+        times.  The per-head work that must stay per-head (QK and PV
+        matmuls: different operands per head) is issued back-to-back so
+        Mosaic overlaps MXU passes with the single wide VPU phase."""
+        d = q_ref.shape[-1]
+        dv = vraw.shape[-1] // hk
+        R = rows_n
+        HR = hk * R
+
+        rr = jax.lax.broadcasted_iota(jnp.int32, (HR, bk), 0) % R
+        pos = rr % p.sq
+        cols = kg * bk + jax.lax.broadcasted_iota(
+            jnp.int32, (HR, bk), 1) - lp_b
+        mask = jnp.logical_or(cols < 0, cols >= len_eff)
+        if p.has_upper:
+            mask = jnp.logical_or(mask, cols > pos + offset + p.wr)
+        if p.has_lower:
+            mask = jnp.logical_or(mask, cols < pos + offset - p.window_left)
+        if p.attention_chunk > 0:
+            cc = p.attention_chunk
+            mask = jnp.logical_or(mask, cols // cc != (pos + offset) // cc)
+
+        if p.fp8_kv or (p.int8_kv and _INT8_CAST):
+            kslab = kraw.astype(jnp.bfloat16)
+            vslab = vraw.astype(jnp.bfloat16)
+        elif p.int8_kv and _INT8_PV_CAST:
+            kslab = kraw
+            vslab = vraw.astype(jnp.bfloat16)
+        else:
+            kslab = kraw
+            vslab = vraw
+
+        def head_vec(val_fn):
+            # (HR, 1) f32 carrying val_fn(h) on head h's row block
+            hv = jax.lax.broadcasted_iota(jnp.int32, (HR, 1), 0) // R
+            out = jnp.zeros((HR, 1), jnp.float32)
+            for h_ in range(hk):
+                out = jnp.where(hv == h_, val_fn(h_), out)
+            return out
+
+        int8_native = p.int8_kv and not _INT8_CAST
+        sts = []
+        for h in range(hk):
+            q = q_ref[0, h]
+            k = kslab[:, h * d:(h + 1) * d]
+            if int8_native:
+                st_h = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)
+            else:
+                st_h = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            sts.append(st_h)
+        st = jnp.concatenate(sts, axis=0)  # (HR, bk)
+
+        if int8_native:
+            st = st * head_vec(
+                lambda h_: p.scale * qs_ref[b, h_] * kd_ref[b, h_])
+        elif p.int8_kv or p.fp8_kv:
+            st = st * head_vec(lambda h_: p.scale * kd_ref[b, h_])
+        else:
+            st = st * p.scale
+        if p.softcap > 0.0:
+            st = jnp.tanh(st / p.softcap) * p.softcap
+        st = jnp.where(mask, MASK_VALUE, st)
+
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_curr = jnp.maximum(m_prev, jnp.max(st, axis=1, keepdims=True))
+        alpha = jnp.exp2((m_prev - m_curr) * LOG2E)
+        pmat = jnp.exp2((st - m_curr) * LOG2E)
+        pmat = jnp.where(mask, 0.0, pmat)
+        l_curr = l_prev * alpha + jnp.sum(pmat, axis=1, keepdims=True)
+        m_ref[...] = jnp.broadcast_to(m_curr, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_curr, l_ref.shape)
+
+        if int8_native:
+            pop = jnp.round(pmat * 127.0).astype(jnp.int8)
+        else:
+            pop = pmat.astype(vslab.dtype)
+        pvs = []
+        for h in range(hk):
+            v = vslab[:, h * dv:(h + 1) * dv]
+            ph = pop[h * R:(h + 1) * R]
+            if int8_native:
+                pv_h = jax.lax.dot_general(
+                    ph, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)
+            else:
+                pv_h = jax.lax.dot_general(
+                    ph, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            pvs.append(pv_h)
+        pv = jnp.concatenate(pvs, axis=0)  # (HR, dv)
+        if int8_native:
+            pv = pv * head_vec(lambda h_: vd_ref[b, h_] * (1.0 / 127.0))
+        elif p.int8_kv or p.fp8_kv:
+            pv = pv * head_vec(lambda h_: vd_ref[b, h_])
+        acc_ref[...] = acc_ref[...] * alpha + pv
+
+    def _compute(kg, kraw, vraw):
         rows = jax.lax.broadcasted_iota(jnp.int32, (rows_n, bk), 0)
         pos = rows % p.sq
         cols = kg * bk + jax.lax.broadcasted_iota(
@@ -460,18 +590,18 @@ def _decode_ref_kernel(p: DecodeParams, hk: int, *args):
             mask = jnp.logical_or(mask, cols // cc != (pos + offset) // cc)
 
         d = q_ref.shape[-1]
-        dv = v_ref.shape[-1] // hk
+        dv = vraw.shape[-1] // hk
         if p.fp8_kv or (p.int8_kv and _INT8_CAST):
             # dequantise the whole slab once per step (single wide cast)
-            kslab = k_ref[0].astype(jnp.bfloat16)
-            vslab = v_ref[0].astype(jnp.bfloat16)
+            kslab = kraw.astype(jnp.bfloat16)
+            vslab = vraw.astype(jnp.bfloat16)
         elif p.int8_kv and _INT8_PV_CAST:
-            kslab = k_ref[0]
-            vslab = v_ref[0].astype(jnp.bfloat16)
+            kslab = kraw
+            vslab = vraw.astype(jnp.bfloat16)
         else:
             # int8: slabs stay int8 — the MXU consumes them natively
-            kslab = k_ref[0]
-            vslab = v_ref[0]
+            kslab = kraw
+            vslab = vraw
         for h in range(hk):
             q = q_ref[0, h]                      # (rows_n, d)
             # static lane slices of the (bk, hk*d) slab: cheap on TPU
@@ -544,16 +674,67 @@ def _decode_ref_kernel(p: DecodeParams, hk: int, *args):
                     pv = pv * vd_ref[b, h]
             acc_ref[h] = acc_ref[h] * alpha + pv
 
-    for j in range(F):
-        kg_j = (s * bps + ki) * F + j
-        ok_j = jnp.logical_and(kg_j >= kg_min, kg_j <= kg_max)
+    if p.wide:
+        # wide path: per-page validity is handled by the column masks
+        # (clamped index maps deliver a resident page whose scores mask to
+        # -inf), so only whole-step skipping needs a predicate — it is
+        # what keeps ragged batches cheap when one sequence is much
+        # shorter than the grid.
+        kg0 = (s * bps + ki) * F
+        ok_step = jnp.logical_and(kg0 + F - 1 >= kg_min, kg0 <= kg_max)
 
-        @pl.when(ok_j)
-        def _go(kg_j=kg_j, j=j):
-            _compute(kg_j, k_refs[j], v_refs[j])
+        @pl.when(ok_step)
+        def _go_wide():
+            for j in range(F):
+                if p.fused:
+                    kraw, vraw = kv_refs[j][0, 0], kv_refs[j][0, 1]
+                else:
+                    kraw, vraw = k_refs[j][0], v_refs[j][0]
+                if _DECODE_NOCOMPUTE:
+                    t = (kraw[:8, :128].astype(jnp.float32)
+                         + vraw[:8, :128].astype(jnp.float32))
+                    acc_ref[:8, :min(128, acc_ref.shape[-1])] += (
+                        t[:, :acc_ref.shape[-1]])
+                else:
+                    _compute_wide(kg0 + j, kraw, vraw)
+    else:
+        for j in range(F):
+            kg_j = (s * bps + ki) * F + j
+            ok_j = jnp.logical_and(kg_j >= kg_min, kg_j <= kg_max)
+
+            @pl.when(ok_j)
+            def _go(kg_j=kg_j, j=j):
+                if p.fused:
+                    # block (1, 2, bk, hk*d): K and V arrive in ONE
+                    # contiguous DMA; [0, 0]/[0, 1] are whole-tile loads
+                    # (a sublane slice of a flattened 2*bk slab
+                    # materialises the full slab first — measured 437 vs
+                    # 740 GB/s)
+                    kraw, vraw = kv_refs[j][0, 0], kv_refs[j][0, 1]
+                else:
+                    kraw, vraw = k_refs[j][0], v_refs[j][0]
+                if _DECODE_NOCOMPUTE:
+                    t = (kraw[:8, :128].astype(jnp.float32)
+                         + vraw[:8, :128].astype(jnp.float32))
+                    acc_ref[0, :8, :min(128, acc_ref.shape[-1])] += (
+                        t[:, :acc_ref.shape[-1]])
+                else:
+                    _compute(kg_j, kraw, vraw)
 
     @pl.when(ki == bps - 1)
     def _finalize():
+        if p.wide:
+            # scratch is (hk*rows, X); outputs are (1, 1, hk, rows, X)
+            l_final = l_ref[:, :1]
+            m_final = m_ref[:, :1]
+            empty = l_final == 0.0
+            l_safe = jnp.where(empty, 1.0, l_final)
+            o_ref[0, 0] = (acc_ref[...] / l_safe).reshape(
+                hk, rows_n, acc_ref.shape[-1])
+            lse = jnp.where(empty, jnp.inf, m_final + jnp.log(l_safe))
+            lse_ref[0, 0] = jnp.broadcast_to(
+                lse.reshape(hk, rows_n, 1), lse_ref.shape[2:])
+            return
         l_final = l_ref[:, :, :1]
         m_final = m_ref[:, :, :1]
         empty = l_final == 0.0
@@ -587,11 +768,19 @@ def decode_attn_ref_layout(
     """Split-KV decode on reference-layout caches (no transposes).
 
     q: (b, sq, h, d).  Non-paged cache: (bc, smax, hk, d).  Paged:
-    (npages, page, hk, d) + block_table (b, pages_per_seq).  Returns
-    (o (b, sq, h, d) in q.dtype, lse (b, h, sq) float32).
+    (npages, page, hk, d) + block_table (b, pages_per_seq).  Fused paged
+    (v_cache=None): (npages, 2, page, hk, d) — K and V of a page in one
+    contiguous slab so each page is ONE DMA of 2x the bytes (the per-DMA
+    size sets the v5e bandwidth regime).  Returns (o (b, sq, h, d) in
+    q.dtype, lse (b, h, sq) float32).
     """
     b, sq, h, d = q.shape
     paged = block_table is not None
+    fused = v_cache is None
+    if fused and not paged:
+        raise ValueError(
+            "fused KV cache requires a paged layout (npages, 2, page, hk, d)"
+        )
     # Transfer-size equalisation: the v5e DMA engine's effective bandwidth
     # is set by per-transfer BYTES (~330 GB/s at 131 KB, ~1.1 TB/s at
     # >= 512 KB — DESIGN.md decode notes), so quantised caches must stream
@@ -605,20 +794,29 @@ def decode_attn_ref_layout(
     # behind a flag for further tuning.
     import os
 
-    use_pipe = (paged and alibi_slopes is None and not use_interpret()
+    use_pipe = (paged and not fused and alibi_slopes is None
+                and not use_interpret()
                 and os.environ.get("FLASH_ATTN_TPU_PIPE_DECODE") == "1")
     if paged:
-        npages, page, hk, _ = k_cache.shape
+        if fused:
+            npages, _two, page, hk, _ = k_cache.shape
+            if _two != 2:
+                raise ValueError(
+                    "fused KV cache must be (npages, 2, page, hk, d)")
+        else:
+            npages, page, hk, _ = k_cache.shape
         block_k = page
         nk_max = block_table.shape[1]
         # bundle small pages: each grid step should stream >= ~512 KV rows
         # (only for the automatic-pipeline fallback; the manual pipeline
-        # overlaps page DMAs itself)
+        # overlaps page DMAs itself).  A fused page already carries 2x the
+        # rows per DMA.
         import os as _os2
 
         target = int(_os2.environ.get("FLASH_ATTN_TPU_BUNDLE_ROWS", "1024"))
         target *= widen
-        bundle = 1 if use_pipe else max(1, target // block_k)
+        per_dma_rows = (2 if fused else 1) * block_k
+        bundle = 1 if use_pipe else max(1, target // per_dma_rows)
     else:
         bc, smax, hk, _ = k_cache.shape
         block_k = min(block_k, round_up(smax, 8))
@@ -630,7 +828,7 @@ def decode_attn_ref_layout(
                 v_cache, ((0, 0), (0, smax_p - smax), (0, 0), (0, 0)))
         nk_max = smax_p // block_k
         bundle = 1
-    dv = v_cache.shape[-1]
+    dv = k_cache.shape[-1] if fused else v_cache.shape[-1]
     g = h // hk
     rows = g * sq
     rows_p = max(8, round_up(rows, 8))
@@ -660,6 +858,13 @@ def decode_attn_ref_layout(
         blocks_per_split=bps,
         paged=paged,
         bundle=bundle,
+        fused=fused,
+        # wide (vectorised-over-heads) page processing: the winning
+        # config whenever the (hk*rows, bk) f32 score tile stays within
+        # vreg-friendly bounds; alibi keeps the per-head loop (per-head
+        # slope math)
+        wide=(alibi_slopes is None
+              and block_k * hk * rows_p * 4 <= 256 * 1024),
         attention_chunk=int(attention_chunk),
         fp8_kv=bool(jnp.issubdtype(k_cache.dtype, jnp.floating)
                     and k_cache.dtype.itemsize == 1),
@@ -701,16 +906,34 @@ def decode_attn_ref_layout(
                 return (cbi_ref[b_], kg, 0)
         return pl.BlockSpec((1, block_k, lanes), kv_map)
 
-    in_specs = (
-        [pl.BlockSpec((1, hk, rows_p, d), q_map)]
-        + [make_kv_spec(j, hk * d) for j in range(bundle)]
-        + [make_kv_spec(j, hk * dv) for j in range(bundle)]
-    )
     # collapse (hk, d) into lanes (free: contiguous) so the kernel takes
     # static lane slices per head instead of strided sublane gathers
-    inputs = ([qp]
-              + [k_cache.reshape(*k_cache.shape[:-2], hk * d)] * bundle
-              + [v_cache.reshape(*v_cache.shape[:-2], hk * dv)] * bundle)
+    if fused:
+        # (npages, 2, page, hk, d) -> (npages, 2, page, hk*d): one block =
+        # one page's K rows then V rows, a single contiguous DMA; the kept
+        # `2` axis makes the in-kernel K/V reads whole-tile loads
+        def fused_kv_spec(j):
+            def kv_map(b_, s_, ki, lens_ref, leftpad_ref, cbi_ref,
+                       table_ref):
+                kg = _kg_eff(j, b_, s_, ki, lens_ref, leftpad_ref)
+                return (table_ref[b_, kg], 0, 0, 0)
+            return pl.BlockSpec((1, 2, block_k, hk * d), kv_map)
+
+        in_specs = (
+            [pl.BlockSpec((1, hk, rows_p, d), q_map)]
+            + [fused_kv_spec(j) for j in range(bundle)]
+        )
+        inputs = ([qp]
+                  + [k_cache.reshape(npages, 2, block_k, hk * d)] * bundle)
+    else:
+        in_specs = (
+            [pl.BlockSpec((1, hk, rows_p, d), q_map)]
+            + [make_kv_spec(j, hk * d) for j in range(bundle)]
+            + [make_kv_spec(j, hk * dv) for j in range(bundle)]
+        )
+        inputs = ([qp]
+                  + [k_cache.reshape(*k_cache.shape[:-2], hk * d)] * bundle
+                  + [v_cache.reshape(*v_cache.shape[:-2], hk * dv)] * bundle)
     if alibi_slopes is not None:
         slopes = jnp.broadcast_to(
             jnp.asarray(alibi_slopes, jnp.float32).reshape(-1, h), (b, h)
@@ -800,11 +1023,17 @@ def decode_attn_ref_layout(
                     pl.BlockSpec((1, 1, hk, rows_p, dv), o_map),
                     pl.BlockSpec((1, 1, hk, rows_p, STAT_LANES), o_map),
                 ],
-                scratch_shapes=[
-                    pltpu.VMEM((hk, rows_p, dv), jnp.float32),
-                    pltpu.VMEM((hk, rows_p, 128), jnp.float32),
-                    pltpu.VMEM((hk, rows_p, 128), jnp.float32),
-                ],
+                scratch_shapes=(
+                    [
+                        pltpu.VMEM((hk * rows_p, dv), jnp.float32),
+                        pltpu.VMEM((hk * rows_p, 128), jnp.float32),
+                        pltpu.VMEM((hk * rows_p, 128), jnp.float32),
+                    ] if p.wide else [
+                        pltpu.VMEM((hk, rows_p, dv), jnp.float32),
+                        pltpu.VMEM((hk, rows_p, 128), jnp.float32),
+                        pltpu.VMEM((hk, rows_p, 128), jnp.float32),
+                    ]
+                ),
             ),
             out_shape=[
                 jax.ShapeDtypeStruct(
@@ -1011,6 +1240,22 @@ def _apply_rotary(x, cos, sin, positions, interleaved):
     return jnp.concatenate([out.astype(x.dtype), x_pass], axis=-1)
 
 
+def fuse_kv_cache(k_cache, v_cache):
+    """Pack separate paged caches (npages, page, hk, d) into the fused
+    layout (npages, 2, page, hk, d): K and V of a page in one contiguous
+    slab, so decode streams each page as ONE DMA of twice the bytes.
+    Pass the result as `k_cache` with `v_cache=None`."""
+    if k_cache.shape != v_cache.shape:
+        raise ValueError("fused layout requires k/v caches of equal shape "
+                         f"(got {k_cache.shape} vs {v_cache.shape})")
+    return jnp.stack([k_cache, v_cache], axis=1)
+
+
+def split_kv_cache(kv_cache):
+    """Inverse of `fuse_kv_cache`: (npages, 2, page, hk, d) -> (K, V)."""
+    return kv_cache[:, 0], kv_cache[:, 1]
+
+
 def flash_attn_with_kvcache(
     q,
     k_cache,
@@ -1050,8 +1295,22 @@ def flash_attn_with_kvcache(
     JAX is functional, so instead of in-place cache mutation pass
     `return_updated_cache=True` to get (out[, lse], (k_cache, v_cache))
     back; under jit with donated arguments the update is in-place.
+
+    TPU extension — fused KV pages: pass `v_cache=None` with k_cache of
+    shape (npages, 2, page_size, hk, d) (K at [:, 0], V at [:, 1]; build
+    with `fuse_kv_cache`).  K and V of a page then stream as ONE
+    contiguous DMA of twice the bytes, which roughly doubles paged-decode
+    bandwidth at small page sizes on v5e (per-transfer size sets the DMA
+    regime; see DESIGN.md).  With `return_updated_cache=True` the fused
+    array is returned in place of the (k_cache, v_cache) tuple.
     """
     b, sq, h, d = q.shape
+    fused = v_cache is None
+    if fused and (block_table is None or k_cache.ndim != 5
+                  or k_cache.shape[1] != 2):
+        raise ValueError(
+            "v_cache=None selects the fused layout: k_cache must be "
+            "(npages, 2, page, hk, d) with a block_table")
     del pack_gqa, sm_margin  # accepted for signature parity; GQA packing is
     # always on and there is no SM pool to carve (see decode_attn_ref_layout)
     if scheduler_metadata is not None and not num_splits:
@@ -1062,7 +1321,8 @@ def flash_attn_with_kvcache(
         softmax_scale = 1.0 / math.sqrt(d)
     paged = block_table is not None
     if cache_seqlens is None:
-        smax = block_table.shape[1] * k_cache.shape[1] if paged else k_cache.shape[1]
+        page_dim = k_cache.shape[2] if fused else k_cache.shape[1]
+        smax = block_table.shape[1] * page_dim if paged else k_cache.shape[1]
         cache_seqlens = jnp.full((b,), smax, jnp.int32)
     elif jnp.ndim(cache_seqlens) == 0:
         cache_seqlens = jnp.full((b,), cache_seqlens, jnp.int32)
@@ -1072,7 +1332,7 @@ def flash_attn_with_kvcache(
     # kv-head loop in-kernel) — no cache transposition.
     kc, vc = k_cache, v_cache
     if paged:
-        page = k_cache.shape[1]
+        page = k_cache.shape[2] if fused else k_cache.shape[1]
 
     # rotary on q at the cache positions
     if rotary_cos is not None:
@@ -1122,15 +1382,24 @@ def flash_attn_with_kvcache(
         if paged:
             pids = block_table[jnp.arange(b)[:, None], sidx // page]  # (b, snew)
             poff = sidx % page
-            kc = kc.at[pids, poff].set(k)
-            vc = vc.at[pids, poff].set(v)
+            if fused:
+                kc = kc.at[pids, 0, poff].set(k)
+                kc = kc.at[pids, 1, poff].set(v)
+            else:
+                kc = kc.at[pids, poff].set(k)
+                vc = vc.at[pids, poff].set(v)
         else:
             kc = kc.at[jnp.asarray(bidx)[:, None], sidx].set(k)
             vc = vc.at[jnp.asarray(bidx)[:, None], sidx].set(v)
         new_len = cache_seqlens + snew
 
     qd, kcd, vcd = q, kc, vc
+    if qv is not None and fused:
+        # MLA qv needs the [Kc|Vc] head-dim concat — unfuse for this call
+        # (the updated fused cache is still what's returned)
+        kcd, vcd = kc[:, 0], kc[:, 1]
     if qv is not None:
+        kc_q, vc_q = kcd, vcd
         # FA3 qv (S = Q·Kᵀ + Qv·Vᵀ, `hopper/flash_attn_interface.py:724`):
         # fold as [Q|Qv]·[Kc|Vc]ᵀ along the head dim, after rotary/append so
         # the returned caches keep the reference layout.  Scale default is
@@ -1162,7 +1431,8 @@ def flash_attn_with_kvcache(
             qv_eff = qv_eff * ratio_h[:, None, :, None]
             v_descale = _ds(v_descale)  # PV side keeps its own descale
         qd = jnp.concatenate([q, qv_eff.astype(q.dtype)], axis=-1)
-        kcd = jnp.concatenate([kc, vc.astype(kc.dtype)], axis=-1)
+        kcd = jnp.concatenate([kc_q, vc_q.astype(kc_q.dtype)], axis=-1)
+        vcd = vc_q
 
     out, lse = decode_attn_ref_layout(
         qd,
@@ -1188,5 +1458,5 @@ def flash_attn_with_kvcache(
     if return_softmax_lse:
         results += (lse,)
     if return_updated_cache:
-        results += ((kc, vc),)
+        results += ((kc,) if fused else ((kc, vc),))
     return results[0] if len(results) == 1 else results
