@@ -113,6 +113,20 @@ def main():
         agg=agg)
     extras["decode_int8_tok_s"] = round(bd / dt_dec8, 0)
 
+    # --- fused KV pages (one DMA per page covering K and V; the serving
+    # configuration for small pages — see DESIGN.md decode notes) ---
+    kv_f = fa.fuse_kv_cache(kc, vc)
+    dt_fus = benchmark_chained(
+        lambda q, kvf: decode_step(q, kvf, None),
+        qd, kv_f, iters=32 if on_tpu else 2, reps=max(reps - 2, 1), agg=agg)
+    extras["decode_fused_bf16_tok_s"] = round(bd / dt_fus, 0)
+    kv_f8 = fa.fuse_kv_cache(kq, vq)
+    dt_fus8 = benchmark_chained(
+        lambda q, kvf: decode_step(q, kvf, None, k_descale=kdsc,
+                                   v_descale=vdsc),
+        qd, kv_f8, iters=32 if on_tpu else 2, reps=max(reps - 2, 1), agg=agg)
+    extras["decode_fused_int8_tok_s"] = round(bd / dt_fus8, 0)
+
     # --- packed varlen ragged fwd+bwd (first-class varlen backward) ---
     lens_r = ([8192] + [256] * 31) if on_tpu else [128, 64]
     cu = jnp.asarray(np.cumsum([0] + lens_r), jnp.int32)
