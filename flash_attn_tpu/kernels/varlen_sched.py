@@ -88,6 +88,7 @@ def token_aux(cu_seqlens, total, total_p, seqused=None):
 
 def build_varlen_schedule(
     cu_q, cu_k, total_q_p, total_k_p, *, bq, bk, causal, window, T_max,
+    same_stream=False,
 ):
     """Device-side schedule tables (qi_tab, ki_tab, flags), each (T_max,).
 
@@ -119,6 +120,13 @@ def build_varlen_schedule(
 
     inter = ((qs0[:, None] <= ks1[None, :]) & (ks0[None, :] <= qs1[:, None])
              & q_in[:, None] & k_live[None, :])
+    if causal and same_stream:
+        # Exact stream-level pruning: a packed same-stream causal query
+        # never attends a key LATER in the stream (its segment's keys all
+        # precede it), so any pair with k0 > q1 is fully masked.  This
+        # kills the above-diagonal straddle pairs the segment-intersection
+        # test keeps, making needed a subset of the block triangle.
+        inter = inter & (k0[None, :] <= q1c[:, None])
 
     # causal/window block-level pruning + fullness via from-end corners
     q_end = cu_q[qs0 + 1]
@@ -151,27 +159,41 @@ def build_varlen_schedule(
     force = (~row_any) & q_in
     needed = needed | (force[:, None] & (jnp.arange(nk) == 0)[None, :])
     empty_entry = force[:, None] & (jnp.arange(nk) == 0)[None, :]
-
-    csum = jnp.cumsum(needed, axis=1)
-    first = needed & (csum == 1)
-    total_row = csum[:, -1:]
-    last = needed & (csum == total_row)
     boundary = needed & ~full
 
-    flags = (first * _FIRST + last * _LAST + boundary * _BOUND
-             + empty_entry * _EMPTY).astype(jnp.int32)
-
-    flat_needed = needed.reshape(-1)
-    key = jnp.where(flat_needed,
-                    jnp.arange(nq * nk, dtype=jnp.int32),
-                    jnp.int32(nq * nk))
-    order = jnp.argsort(key)[:T_max]
-    valid = key[order] < nq * nk
+    # Ordering: qi-major, and *boundary (masked) tiles first* within each
+    # row — the row's LAST tick (which carries the per-head finalize)
+    # lands on a big mask-free interior tile whose straight-line MXU body
+    # hides the finalize VPU work (same trick as the dense scheduled
+    # grid's _build_schedule).  Online softmax is order-invariant.
+    qi_grid = jnp.arange(nq, dtype=jnp.int32)[:, None]
+    ki_grid = jnp.arange(nk, dtype=jnp.int32)[None, :]
+    sentinel = jnp.int32(2 * nq * nk)
+    key = jnp.where(
+        needed,
+        (qi_grid * 2 + jnp.where(boundary, 0, 1)) * nk + ki_grid,
+        sentinel)
+    order = jnp.argsort(key.reshape(-1))[:T_max]
+    valid = key.reshape(-1)[order] < sentinel
     pair = order
     qi_tab = jnp.where(valid, pair // nk, nq - 1).astype(jnp.int32)
     ki_tab = jnp.where(valid, pair % nk, 0).astype(jnp.int32)
-    fl_tab = jnp.where(valid, flags.reshape(-1)[order],
-                       jnp.int32(_EMPTY))
+    # FIRST/LAST recomputed on the *ordered* entries (a row's first tick
+    # runs the fresh write-not-RMW body; its last runs the finalize)
+    qi_raw = (pair // nk).astype(jnp.int32)
+    prev_qi = jnp.concatenate([jnp.full((1,), -1, jnp.int32), qi_raw[:-1]])
+    next_qi = jnp.concatenate([qi_raw[1:], jnp.full((1,), -1, jnp.int32)])
+    next_valid = jnp.concatenate(
+        [valid[1:], jnp.zeros((1,), jnp.bool_)])
+    first_o = valid & (qi_raw != prev_qi)
+    last_o = valid & ((qi_raw != next_qi) | ~next_valid)
+    bnd_o = boundary.reshape(-1)[order]
+    emp_o = empty_entry.reshape(-1)[order]
+    fl_tab = jnp.where(
+        valid,
+        (first_o * _FIRST + last_o * _LAST + bnd_o * _BOUND
+         + emp_o * _EMPTY).astype(jnp.int32),
+        jnp.int32(_EMPTY))
     # padding entries keep the LAST valid entry's (qi, ki) so no fresh DMA
     # or out-block transition happens on the tail
     def carry_last(tab):
@@ -190,15 +212,19 @@ def _varlen_sched_kernel(
     meta, qi_ref, ki_ref, fl_ref, *refs,
 ):
     """Grid (h//bh, T).  meta = (scale, causal, wl, wr, softcap, has_alibi,
-    g, bq, bk, bh, hbk, dropout_p, folded)."""
+    g, bq, bk, bh, hbk, dropout_p, folded, emit_lse, lse_packed)."""
     (scale, causal, wl, wr, softcap, has_alibi, g, bq, bk, bh, hbk,
-     dropout_p, folded) = meta
+     dropout_p, folded, emit_lse, lse_packed) = meta
     refs = list(refs)
     q_ref, k_ref, v_ref, qa_ref, ka_ref = refs[:5]
     refs = refs[5:]
     slopes_ref = refs.pop(0) if has_alibi else None
     seed_ref = refs.pop(0) if dropout_p > 0.0 else None
-    o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
+    if emit_lse:
+        o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
+    else:
+        o_ref, acc_ref, m_ref, l_ref = refs
+        lse_ref = None
 
     hb = pl.program_id(0)
     t = pl.program_id(1)
@@ -215,6 +241,14 @@ def _varlen_sched_kernel(
 
     @pl.when(first)
     def _init():
+        # Zero the running state on a row's first tick.  Kept as ONE
+        # predicated region + always-RMW bodies: Mosaic charges ~28us of
+        # per-tick overhead on EVERY tick once the kernel carries four
+        # matmul-bearing pl.when bodies (measured,
+        # benchmarks/diag_varlen_overhead_bisect.py K6), so the dense
+        # kernel's fresh-first-tick trick must NOT be ported here as
+        # separate fresh bodies.  This region itself is free (K2/K4:
+        # 0.4-0.6us/tick).
         # m floor is MASK_VALUE (not -inf): masked scores carry the far
         # lower _VL_BIAS, so exp2((bias - m) * c) underflows to exactly 0
         # and the probability pass needs no select.
@@ -294,12 +328,13 @@ def _varlen_sched_kernel(
             prev = (hh, s)
         smpv_stage(*prev)
 
-    @pl.when(jnp.logical_and(jnp.logical_not(empty),
-                             jnp.logical_not(boundary)))
+    live = jnp.logical_not(empty)
+
+    @pl.when(jnp.logical_and(live, jnp.logical_not(boundary)))
     def _interior():
         run_items(with_mask=False)
 
-    @pl.when(jnp.logical_and(jnp.logical_not(empty), boundary))
+    @pl.when(jnp.logical_and(live, boundary))
     def _bound():
         run_items(with_mask=True)
 
@@ -311,18 +346,26 @@ def _varlen_sched_kernel(
             zero = l_final == 0.0
             l_safe = jnp.where(zero, 1.0, l_final)
             o_ref[hh] = (acc_ref[hh] / l_safe).astype(o_ref.dtype)
-            m_nat = m_final if generic else m_final / LOG2E
-            lse = jnp.where(zero, jnp.inf, m_nat + jnp.log(l_safe))
-            lse_ref[hh] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+            if lse_ref is not None:
+                m_nat = m_final if generic else m_final / LOG2E
+                lse = jnp.where(zero, jnp.inf, m_nat + jnp.log(l_safe))
+                if lse_packed:
+                    # packed rows->(sublane, lane) tile: a 4KB write per
+                    # head instead of a 512KB LANES-broadcast
+                    lse_ref[hh] = lse.reshape(lse_ref.shape[1:])
+                else:
+                    lse_ref[hh] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 def _varlen_sched_fwd(
     q, k, v, cu_q, cu_k, qa, ka_rows, qi_tab, ki_tab, fl_tab, *,
     scale, causal, window, softcap, alibi_slopes, dropout_p, dropout_seed,
-    bq, bk, bh,
+    bq, bk, bh, emit_lse=True,
 ):
     """Raw scheduled forward.  q: (total_q_p, h, d) padded; aux/tables
-    prebuilt.  Returns o (total_q_p, h, d), lse (h, total_q_p)."""
+    prebuilt.  Returns o (total_q_p, h, d) and lse (h, total_q_p) —
+    lse is None when `emit_lse` is off (the inference primal skips the
+    write: lane-replicated it is 2x the output's HBM bytes)."""
     total_q_p, h, d = q.shape
     total_k_p = k.shape[0]
     hk = k.shape[1]
@@ -375,54 +418,74 @@ def _varlen_sched_fwd(
             0 if dropout_seed is None else dropout_seed, jnp.int32
         ).reshape(1))
 
+    lse_packed = emit_lse and bq % (8 * LANES) == 0
     meta = (float(scale), bool(causal), int(window[0]), int(window[1]),
             float(softcap), alibi_slopes is not None, g, bq, bk, bh, hbk,
-            float(dropout_p), not generic)
+            float(dropout_p), not generic, bool(emit_lse), lse_packed)
 
-    o, lse = pl.pallas_call(
+    out_specs = [pl.BlockSpec((bh, bq, dv), q_map)]
+    out_shape = [jax.ShapeDtypeStruct((h, total_q_p, dv), q.dtype)]
+    if lse_packed:
+        def lse_map(hb_, t, qi_r, ki_r, fl_r):
+            return (hb_, qi_r[t], 0)
+
+        out_specs.append(pl.BlockSpec((bh, bq // LANES, LANES), lse_map))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (h, total_q_p // LANES, LANES), jnp.float32))
+    elif emit_lse:
+        out_specs.append(pl.BlockSpec((bh, bq, LANES), q_map))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (h, total_q_p, LANES), jnp.float32))
+
+    res = pl.pallas_call(
         functools.partial(_varlen_sched_kernel, meta),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(h // bh, T),
             in_specs=in_specs,
-            out_specs=[
-                pl.BlockSpec((bh, bq, dv), q_map),
-                pl.BlockSpec((bh, bq, LANES), q_map),
-            ],
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((bh, bq, dv), jnp.float32),
                 pltpu.VMEM((bh, bq, LANES), jnp.float32),
                 pltpu.VMEM((bh, bq, LANES), jnp.float32),
             ],
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct((h, total_q_p, dv), q.dtype),
-            jax.ShapeDtypeStruct((h, total_q_p, LANES), jnp.float32),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * h * bq * bk * d * T,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=h * bq * bk * T,
+        ),
         interpret=use_interpret(),
     )(qi_tab, ki_tab, fl_tab, *inputs)
-    return jnp.swapaxes(o, 0, 1), lse[..., 0]
+    res = list(res) if isinstance(res, (tuple, list)) else [res]
+    o = jnp.swapaxes(res[0], 0, 1)
+    if lse_packed:
+        return o, res[1].reshape(h, total_q_p)
+    if emit_lse:
+        return o, res[1][..., 0]
+    return o, None
 
 
-def _sched_t_max(nq, nk, causal, bq, bk, same_stream, nseq):
+def _sched_t_max(nq, nk, causal, bq, bk, same_stream, nseq, max_sk=None):
     """Static worst-case schedule length.
 
-    Causal same-stream: pairs at or below the global block diagonal are
-    bounded by the triangle; pairs ABOVE it survive pruning only when the
-    q or kv block straddles a segment boundary (a one-segment
-    above-diagonal pair is fully masked and pruned), and there are at
-    most nseq-1 straddling blocks on each side — each contributing at
-    most a full row/column of pairs.  Everything else: full rectangle.
+    Causal same-stream (with the stream-level pruning in
+    `build_varlen_schedule`): needed pairs lie within the block triangle
+    (k0 <= q1), and each q row's keys span at most
+    [q0 - max_seqlen_k + 1, q1] — a static `bq + max_sk - 1` stream
+    window — so the row is additionally bounded by the block count of
+    that window.  Everything else: full rectangle.
     """
     if causal and same_stream:
-        tri = sum(min(nk, ((qi + 1) * bq - 1) // bk + 1)
-                  for qi in range(nq))
-        straddle = max(nseq - 1, 0) * (nq + nk)
-        return min(nq * nk, tri + straddle)
+        span = nk if max_sk is None else min(
+            nk, (bq + int(max_sk) - 2) // bk + 2)
+        return sum(min(nk, span, ((qi + 1) * bq - 1) // bk + 1)
+                   for qi in range(nq))
     return nq * nk
 
 
@@ -445,6 +508,7 @@ _PACKED_BWD_DQ_LIMIT = 48 * 1024 * 1024
 
 def build_varlen_bwd_schedule(
     cu_q, cu_k, total_q_p, total_k_p, *, bq, bk, causal, window, g, T_max,
+    same_stream=False,
 ):
     """Device-side KV-major schedule for the packed backward.
 
@@ -482,6 +546,9 @@ def build_varlen_bwd_schedule(
 
     inter = ((qs0[:, None] <= ks1[None, :]) & (ks0[None, :] <= qs1[:, None])
              & q_in[:, None] & k_live[None, :])
+    if causal and same_stream:
+        # stream-level pruning (see build_varlen_schedule)
+        inter = inter & (k0[None, :] <= q1c[:, None])
 
     q_end = cu_q[qs0 + 1]
     k_end = cu_k[ks0 + 1]
@@ -707,7 +774,7 @@ def _varlen_bwd_kernel(meta, ki_ref, qi_ref, gi_ref, fl_ref, dqo_ref,
 
 def _varlen_sched_bwd(
     q, k, v, do, o, lse, cu_q, cu_k, *, scale, causal, window, softcap,
-    slopes, dropout_p, dropout_seed, same_stream, bq, bk,
+    slopes, dropout_p, dropout_seed, same_stream, bq, bk, max_sk=None,
 ):
     """Packed backward launch.  q/do/o: (total_q, h, d); k/v: (total_k,
     hk, d); lse: (h, total_q) natural-log units.  Returns packed
@@ -757,10 +824,11 @@ def _varlen_sched_bwd(
     nseq = int(cu_q32.shape[0]) - 1
     T_pairs = min(
         nq * nk,
-        _sched_t_max(nq, nk, causal, bq, bk, same_stream, nseq) + nk + nq)
+        _sched_t_max(nq, nk, causal, bq, bk, same_stream, nseq,
+                     max_sk=max_sk) + nk + nq)
     ki_tab, qi_tab, gi_tab, fl_tab, dqo_tab = build_varlen_bwd_schedule(
         cu_q32, cu_k32, tq_p, tk_p, bq=bq, bk=bk, causal=causal,
-        window=window, g=g, T_max=T_pairs)
+        window=window, g=g, T_max=T_pairs, same_stream=same_stream)
     T = int(ki_tab.shape[0])
 
     def q_map(hk_, i, ki_r, qi_r, gi_r, fl_r, dqo_r):
@@ -847,13 +915,14 @@ def _sched_core(q, k, v, cu_q, cu_k, max_sq, max_sk, scale, causal, window,
     o, _ = _sched_fwd_impl(q, k, v, cu_q, cu_k, max_sq, max_sk, scale,
                            causal, window, softcap, slopes, dropout_p,
                            same_stream, dropout_seed,
-                           bq=blocks[0], bk=blocks[1], bh=blocks[2])
+                           bq=blocks[0], bk=blocks[1], bh=blocks[2],
+                           emit_lse=False)
     return o
 
 
 def _sched_fwd_impl(q, k, v, cu_q, cu_k, max_sq, max_sk, scale, causal,
                     window, softcap, slopes, dropout_p, same_stream,
-                    dropout_seed, bq=512, bk=512, bh=4):
+                    dropout_seed, bq=512, bk=512, bh=4, emit_lse=True):
     total_q, h, d = q.shape
     total_k = k.shape[0]
     tq_p = round_up(max(total_q, bq), bq)
@@ -872,18 +941,18 @@ def _sched_fwd_impl(q, k, v, cu_q, cu_k, max_sq, max_sk, scale, causal,
     ka_rows = jnp.broadcast_to(
         ka.reshape(nk, 1, bk), (nk, STAT, bk)).reshape(nk, STAT, bk)
     T = _sched_t_max(tq_p // bq, nk, causal, bq, bk, same_stream,
-                     int(cu_q32.shape[0]) - 1)
+                     int(cu_q32.shape[0]) - 1, max_sk=max_sk)
     qi_tab, ki_tab, fl_tab = build_varlen_schedule(
         cu_q32, cu_k32, tq_p, tk_p, bq=bq, bk=bk, causal=causal,
-        window=window, T_max=T,
+        window=window, T_max=T, same_stream=same_stream,
     )
     o, lse = _varlen_sched_fwd(
         q_p, k_p, v_p, cu_q32, cu_k32, qa, ka_rows, qi_tab, ki_tab, fl_tab,
         scale=scale, causal=causal, window=window, softcap=softcap,
         alibi_slopes=slopes, dropout_p=dropout_p, dropout_seed=dropout_seed,
-        bq=bq, bk=bk, bh=bh,
+        bq=bq, bk=bk, bh=bh, emit_lse=emit_lse,
     )
-    return o[:total_q], lse[:, :total_q]
+    return o[:total_q], None if lse is None else lse[:, :total_q]
 
 
 def _sched_core_fwd(q, k, v, cu_q, cu_k, max_sq, max_sk, scale, causal,
@@ -917,7 +986,7 @@ def _sched_core_bwd(max_sq, max_sk, scale, causal, window, softcap,
             q, k, v, do, o, lse, cu_q, cu_k, scale=scale, causal=causal,
             window=window, softcap=softcap, slopes=slopes,
             dropout_p=dropout_p, dropout_seed=dropout_seed,
-            same_stream=same_stream, bq=bq_, bk=bk_)
+            same_stream=same_stream, bq=bq_, bk=bk_, max_sk=max_sk)
         return gq, gk, gv, None, None, None, None
     total_q, h, d = q.shape
     total_k = k.shape[0]
