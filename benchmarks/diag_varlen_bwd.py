@@ -61,10 +61,17 @@ def run(lens, h=16, d=128, label=""):
     return tf_f, tf_fb
 
 
+CASES = {
+    "single8k": ([8192], "single 8k"),
+    "mix": ([8192] + [256] * 31, "bench mix 8k+31x256"),
+    "64x256": ([256] * 64, "64x256"),
+    "8x2048": ([2048] * 8, "8x2048"),
+    "2x8k": ([8192] * 2, "2x8k"),
+}
+
 if __name__ == "__main__":
     print("devices:", jax.devices())
-    run([8192], label="single 8k")
-    run([8192] + [256] * 31, label="bench mix 8k+31x256")
-    run([256] * 64, label="64x256")
-    run([2048] * 8, label="8x2048")
-    run([8192] * 2, label="2x8k")
+    names = sys.argv[1:] or list(CASES)
+    for n in names:
+        lens, label = CASES[n]
+        run(lens, label=label)

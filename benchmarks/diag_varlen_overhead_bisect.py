@@ -191,7 +191,7 @@ def main():
               f"{dt/T/(H//BH)*1e6:6.2f} us/tick", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "k04" in sys.argv[1:]:
     print("devices:", jax.devices())
     main()
 
@@ -388,5 +388,258 @@ def main2():
               f"{dt/T/(H//BH)*1e6:6.2f} us/tick", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "k58" in sys.argv[1:]:
     main2()
+
+
+def launch3(qi, ki, fl, code, qT, kT, vT, qa_rep, ka_rows):
+    """K9: four matmul bodies dispatched by a single `code == i` compare
+    (the dense scheduled kernel's ctype pattern) instead of compound
+    and/or predicates.  Tests whether the 28us/tick cliff (K6) is about
+    the NUMBER of bodies or the PREDICATE FORM."""
+    def q_map(hb_, t, qi_r, ki_r, fl_r, cd_r):
+        return (hb_, qi_r[t], 0)
+
+    def kv_map(hb_, t, qi_r, ki_r, fl_r, cd_r):
+        return (hb_, ki_r[t], 0)
+
+    def qa_map(hb_, t, qi_r, ki_r, fl_r, cd_r):
+        return (qi_r[t], 0)
+
+    def ka_map(hb_, t, qi_r, ki_r, fl_r, cd_r):
+        return (ki_r[t], 0, 0)
+
+    def kernel(qi_ref, ki_ref, fl_ref, cd_ref, q_ref, k_ref, v_ref,
+               qa_ref, ka_ref, o_ref, acc_ref, m_ref, l_ref):
+        t = pl.program_id(1)
+        fl = fl_ref[t]
+        code = cd_ref[t]
+        first = (fl & vs._FIRST) != 0
+        last = (fl & vs._LAST) != 0
+        qa = qa_ref[:, :1]
+        ka = ka_ref[0, :1, :]
+        seg_q = jax.lax.shift_right_logical(qa, 16)
+        seg_k = jax.lax.shift_right_logical(ka, 16)
+        pq = qa & 0xFFFF
+        pk = ka & 0xFFFF
+
+        @pl.when(first)
+        def _init():
+            m_ref[...] = jnp.full_like(m_ref, -1e30)
+            l_ref[...] = jnp.zeros_like(l_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        def smpv(hh, s, fresh=False):
+            if fresh:
+                m_curr = jnp.maximum(
+                    jnp.full((BQ, 1), -1e30, jnp.float32),
+                    jnp.max(s, axis=1, keepdims=True))
+            else:
+                m_prev = m_ref[hh, :, :1]
+                l_prev = l_ref[hh, :, :1]
+                m_curr = jnp.maximum(m_prev,
+                                     jnp.max(s, axis=1, keepdims=True))
+                alpha = jnp.exp2(m_prev - m_curr)
+            pmat = jnp.exp2(s - m_curr)
+            psum = jnp.sum(pmat, axis=1, keepdims=True)
+            l_curr = psum if fresh else l_prev * alpha + psum
+            m_ref[hh] = jnp.broadcast_to(m_curr, m_ref.shape[1:])
+            l_ref[hh] = jnp.broadcast_to(l_curr, l_ref.shape[1:])
+            pv = jax.lax.dot_general(
+                pmat.astype(v_ref.dtype), v_ref[hh],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_ref[hh] = pv if fresh else acc_ref[hh] * alpha + pv
+
+        def body(with_mask, fresh=False):
+            bias = None
+            if with_mask:
+                mask = jnp.logical_or(seg_q != seg_k, pk < pq)
+                bias = jnp.where(mask, -3e38, 0.0).astype(jnp.float32)
+            prev = None
+            for hh in range(BH):
+                s = jax.lax.dot_general(
+                    q_ref[hh], k_ref[hh], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if bias is not None:
+                    s = s + bias
+                if prev is not None:
+                    smpv(*prev, fresh)
+                prev = (hh, s)
+            smpv(*prev, fresh)
+
+        for idx, (wm, fr) in enumerate(
+                [(False, False), (True, False), (False, True),
+                 (True, True)]):
+            @pl.when(code == idx)
+            def _b(wm=wm, fr=fr):
+                body(wm, fr)
+
+        @pl.when(last)
+        def _finalize():
+            for hh in range(BH):
+                l_final = l_ref[hh, :, :1]
+                l_safe = jnp.where(l_final == 0.0, 1.0, l_final)
+                o_ref[hh] = (acc_ref[hh] / l_safe).astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(H // BH, T),
+            in_specs=[
+                pl.BlockSpec((BH, BQ, D), q_map),
+                pl.BlockSpec((BH, BK, D), kv_map),
+                pl.BlockSpec((BH, BK, D), kv_map),
+                pl.BlockSpec((BQ, vs.STAT), qa_map),
+                pl.BlockSpec((1, vs.STAT, BK), ka_map),
+            ],
+            out_specs=[pl.BlockSpec((BH, BQ, D), q_map)],
+            scratch_shapes=[
+                pltpu.VMEM((BH, BQ, D), jnp.float32),
+                pltpu.VMEM((BH, BQ, vs.LANES), jnp.float32),
+                pltpu.VMEM((BH, BQ, vs.LANES), jnp.float32),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((H, TOTAL_P, D), qT.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(qi, ki, fl, code, qT, kT, vT, qa_rep, ka_rows)[0]
+
+
+def main3():
+    rng = np.random.default_rng(0)
+    qT = jnp.asarray(rng.standard_normal((H, TOTAL_P, D)), jnp.bfloat16)
+    kT = jnp.asarray(rng.standard_normal((H, TOTAL_P, D)), jnp.bfloat16)
+    vT = jnp.asarray(rng.standard_normal((H, TOTAL_P, D)), jnp.bfloat16)
+    qa_rep = jnp.zeros((TOTAL_P, vs.STAT), jnp.int32)
+    ka_rows = jnp.zeros((TOTAL_P // BK, vs.STAT, BK), jnp.int32)
+    qi = jnp.zeros((T,), jnp.int32)
+    ki = jnp.zeros((T,), jnp.int32)
+    fl = jnp.full((T,), vs._EMPTY, jnp.int32)
+    code = jnp.full((T,), 7, jnp.int32)  # no body selected: all dead
+
+    def step(qc, kT, vT):
+        o = launch3(qi, ki, fl, code, qc, kT, vT, qa_rep, ka_rows)
+        return qc + o.astype(qc.dtype) * 1e-3, kT, vT
+
+    dt = benchmark_chained(lambda c: step(*c), (qT, kT, vT),
+                           iters=8, reps=3, agg="min")
+    print(f"K9 code-dispatch 4 bodies: {dt*1e3:7.2f} ms  "
+          f"{dt/T/(H//BH)*1e6:6.2f} us/tick", flush=True)
+
+
+if __name__ == "__main__" and "k9" in sys.argv[1:]:
+    main3()
+
+
+def launch4(n_bodies, bh, qi, ki, fl, qT, kT, vT):
+    """K10: N identical interior bodies, block_h=bh.  Separates
+    body-count from VMEM-pressure as the cliff trigger."""
+    def q_map(hb_, t, qi_r, ki_r, fl_r):
+        return (hb_, qi_r[t], 0)
+
+    def kv_map(hb_, t, qi_r, ki_r, fl_r):
+        return (hb_, ki_r[t], 0)
+
+    def kernel(qi_ref, ki_ref, fl_ref, q_ref, k_ref, v_ref,
+               o_ref, acc_ref, m_ref, l_ref):
+        t = pl.program_id(1)
+        fl = fl_ref[t]
+        first = (fl & vs._FIRST) != 0
+        last = (fl & vs._LAST) != 0
+        code = jax.lax.shift_right_logical(fl, 4)
+
+        @pl.when(first)
+        def _init():
+            m_ref[...] = jnp.full_like(m_ref, -1e30)
+            l_ref[...] = jnp.zeros_like(l_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        def smpv(hh, s):
+            m_prev = m_ref[hh, :, :1]
+            l_prev = l_ref[hh, :, :1]
+            m_curr = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp2(m_prev - m_curr)
+            pmat = jnp.exp2(s - m_curr)
+            l_curr = l_prev * alpha + jnp.sum(pmat, axis=1, keepdims=True)
+            m_ref[hh] = jnp.broadcast_to(m_curr, m_ref.shape[1:])
+            l_ref[hh] = jnp.broadcast_to(l_curr, l_ref.shape[1:])
+            pv = jax.lax.dot_general(
+                pmat.astype(v_ref.dtype), v_ref[hh],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_ref[hh] = acc_ref[hh] * alpha + pv
+
+        def body():
+            prev = None
+            for hh in range(bh):
+                s = jax.lax.dot_general(
+                    q_ref[hh], k_ref[hh], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if prev is not None:
+                    smpv(*prev)
+                prev = (hh, s)
+            smpv(*prev)
+
+        for idx in range(n_bodies):
+            @pl.when(code == idx)
+            def _b():
+                body()
+
+        @pl.when(last)
+        def _finalize():
+            for hh in range(bh):
+                l_final = l_ref[hh, :, :1]
+                l_safe = jnp.where(l_final == 0.0, 1.0, l_final)
+                o_ref[hh] = (acc_ref[hh] / l_safe).astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(H // bh, T),
+            in_specs=[
+                pl.BlockSpec((bh, BQ, D), q_map),
+                pl.BlockSpec((bh, BK, D), kv_map),
+                pl.BlockSpec((bh, BK, D), kv_map),
+            ],
+            out_specs=[pl.BlockSpec((bh, BQ, D), q_map)],
+            scratch_shapes=[
+                pltpu.VMEM((bh, BQ, D), jnp.float32),
+                pltpu.VMEM((bh, BQ, vs.LANES), jnp.float32),
+                pltpu.VMEM((bh, BQ, vs.LANES), jnp.float32),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((H, TOTAL_P, D), qT.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(qi, ki, fl, qT, kT, vT)[0]
+
+
+def main4():
+    rng = np.random.default_rng(0)
+    qT = jnp.asarray(rng.standard_normal((H, TOTAL_P, D)), jnp.bfloat16)
+    kT = jnp.asarray(rng.standard_normal((H, TOTAL_P, D)), jnp.bfloat16)
+    vT = jnp.asarray(rng.standard_normal((H, TOTAL_P, D)), jnp.bfloat16)
+    qi = jnp.zeros((T,), jnp.int32)
+    ki = jnp.zeros((T,), jnp.int32)
+    fl = jnp.full((T,), vs._EMPTY | (15 << 4), jnp.int32)  # code 15: dead
+
+    for n_bodies, bh in [(2, 4), (3, 4), (4, 4), (4, 2)]:
+        def step(qc, kT, vT):
+            o = launch4(n_bodies, bh, qi, ki, fl, qc, kT, vT)
+            return qc + o.astype(qc.dtype) * 1e-3, kT, vT
+
+        dt = benchmark_chained(lambda c: step(*c), (qT, kT, vT),
+                               iters=8, reps=3, agg="min")
+        print(f"K10 n={n_bodies} bh={bh}: {dt*1e3:7.2f} ms  "
+              f"{dt/T/(H//bh)*1e6:6.2f} us/tick", flush=True)
+
+
+if __name__ == "__main__" and "k10" in sys.argv[1:]:
+    main4()
