@@ -15,6 +15,13 @@ BASELINE.md).  `vs_baseline` is our fraction-of-chip-peak divided by that
 import json
 
 import jax
+
+try:  # persistent compile cache: the driver re-runs this file cold
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 import numpy as np
 
