@@ -13,8 +13,17 @@ BASELINE.md).  `vs_baseline` is our fraction-of-chip-peak divided by that
 """
 
 import json
+import sys
+import time
 
 import jax
+
+_T0 = time.time()
+
+
+def _stage(name):
+    # stderr breadcrumb so slow runs can be profiled; stdout stays one line
+    print(f"[bench {time.time() - _T0:7.1f}s] {name}", file=sys.stderr, flush=True)
 
 try:  # persistent compile cache: the driver re-runs this file cold
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -53,6 +62,7 @@ def main():
     reps = 7 if on_tpu else 1
     agg = "min" if on_tpu else "median"
 
+    _stage("dense fwd")
     dt = benchmark_attention_fwd(
         fa.flash_attn_func, q, k, v, causal=False, iters=iters,
         reps=reps, agg=agg,
@@ -63,6 +73,7 @@ def main():
     extras = {}
 
     # --- causal forward (the training shape) ---
+    _stage("causal fwd")
     dt_c = benchmark_attention_fwd(
         fa.flash_attn_func, q, k, v, causal=True, iters=iters,
         reps=reps, agg=agg,
@@ -71,6 +82,7 @@ def main():
         attention_flops(b, s, s, h, d, True, "fwd") / dt_c / 1e12, 1)
 
     # --- causal fwd+bwd (the training step cost) ---
+    _stage("causal fwd+bwd")
     dt_fb = benchmark_attention_fwd_bwd(
         fa.flash_attn_func, q, k, v, causal=True,
         iters=max(iters // 2, 1), reps=max(reps - 2, 1), agg=agg,
@@ -97,6 +109,7 @@ def main():
             **kw)
         return q + o.astype(q.dtype) * 1e-3
 
+    _stage("decode bf16")
     dt_dec = benchmark_chained(
         decode_step, qd, kc, vc, iters=32 if on_tpu else 2,
         reps=max(reps - 2, 1), agg=agg)
@@ -113,6 +126,7 @@ def main():
 
     kq, kdsc = quant(kc)
     vq, vdsc = quant(vc)
+    _stage("decode int8")
     dt_dec8 = benchmark_chained(
         lambda q, kq, vq: decode_step(q, kq, vq, k_descale=kdsc,
                                       v_descale=vdsc),
@@ -123,11 +137,13 @@ def main():
     # --- fused KV pages (one DMA per page covering K and V; the serving
     # configuration for small pages — see DESIGN.md decode notes) ---
     kv_f = fa.fuse_kv_cache(kc, vc)
+    _stage("decode fused bf16")
     dt_fus = benchmark_chained(
         lambda q, kvf: decode_step(q, kvf, None),
         qd, kv_f, iters=32 if on_tpu else 2, reps=max(reps - 2, 1), agg=agg)
     extras["decode_fused_bf16_tok_s"] = round(bd / dt_fus, 0)
     kv_f8 = fa.fuse_kv_cache(kq, vq)
+    _stage("decode fused int8")
     dt_fus8 = benchmark_chained(
         lambda q, kvf: decode_step(q, kvf, None, k_descale=kdsc,
                                    v_descale=vdsc),
@@ -157,6 +173,7 @@ def main():
                 k + dk.astype(k.dtype) * 1e-3,
                 v + dv.astype(v.dtype) * 1e-3)
 
+    _stage("varlen ragged fwd+bwd")
     dt_vl = benchmark_chained(
         vl_step, (qv_, kv_, vv_), iters=max(iters // 4, 1),
         reps=max(reps - 4, 1), agg=agg)
@@ -165,6 +182,7 @@ def main():
     extras["varlen_ragged_fwd_bwd_TFLOPs"] = round(dt_vl and
                                                    vl_flops / dt_vl / 1e12, 1)
 
+    _stage("done")
     print(json.dumps({
         "metric": "flash_attn_fwd_bf16_hdim128_seq8k_TFLOPs",
         "value": round(tflops, 1),
